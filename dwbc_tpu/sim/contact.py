@@ -1,0 +1,122 @@
+"""Compliant terrain contact over a static sphere set.
+
+Replaces the PhysX TGS contact solver + trimesh broadphase (SURVEY.md
+§2.4) with a TPU-shaped formulation: every robot has a STATIC list of
+collision spheres (compiled in core/urdf.py), each tested against the
+heightfield in O(1). No broadphase, no variable-length contact lists —
+all arrays are (num_geoms, ...) with `where`-masked inactive contacts,
+which is exactly what XLA wants.
+
+Force model (per contact point):
+  normal:   fn = kp * (-phi) - kd * vn, clamped to [0, fn_max], active
+            only when the penetration phi < 0 (Hunt-Crossley-style
+            compliant contact; the TGS softness class of the reference's
+            solver_type=1, 4 position iters — legged_robot_config.py:190);
+  friction: anisotropic-free Coulomb cone: ft = -vt/|vt| * min(mu*fn,
+            kt*|vt|)  (viscous inside the cone -> stick behavior at the
+            200 Hz physics rate).
+
+The per-env friction coefficient vector is the domain-randomization
+surface (reference 1000-bucket friction DR, widowGo1.py:480-496).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.model import RobotModel
+from ..terrain.terrain import Heightfield
+from .dynamics import Kin
+
+
+class ContactParams(NamedTuple):
+    """Impulse-style contact: each active contact applies the force that
+    (given the contact's effective mass) removes its normal approach
+    velocity within one dt plus a Baumgarte pushout of the penetration —
+    one-iteration sequential impulses with a diagonal Delassus
+    approximation. Restitution is 0 (legged_robot_config.py:195)."""
+
+    baumgarte: float = 0.2   # fraction of penetration corrected per step
+    slop: float = 0.001      # penetration tolerance [m]
+    fn_max: float = 2000.0   # per-contact force clamp [N]
+    vel_eps: float = 1e-4    # tangential speed regularizer
+    dt: float = 0.005        # must match SimParams.dt
+
+
+class ContactOut(NamedTuple):
+    geom_force: jax.Array   # (ng, 3) world force on each geom sphere
+    body_wrench: jax.Array  # (nb, 6) world [torque; force] at body origins
+    geom_pos: jax.Array     # (ng, 3) world sphere centers
+    penetration: jax.Array  # (ng,) signed distance (negative = contact)
+
+
+def geom_world_state(model: RobotModel, kin: Kin) -> Tuple[jax.Array, jax.Array]:
+    """World positions and velocities of all collision sphere centers."""
+    gb = jnp.asarray(model.geom_body)
+    offs = jnp.asarray(model.geom_pos)          # (ng, 3) body-frame
+    R = kin.rot[gb]                              # (ng, 3, 3)
+    p = kin.pos[gb] + jnp.einsum("gij,gj->gi", R, offs)
+    # point velocity: world-frame v_origin + w x r
+    w_b = kin.vel[gb][:, :3]
+    v_b = kin.vel[gb][:, 3:]
+    v_origin_w = jnp.einsum("gij,gj->gi", R, v_b)
+    w_w = jnp.einsum("gij,gj->gi", R, w_b)
+    v = v_origin_w + jnp.cross(w_w, p - kin.pos[gb])
+    return p, v
+
+
+def terrain_contact(
+    model: RobotModel,
+    kin: Kin,
+    hf: Heightfield,
+    friction: jax.Array,          # scalar or (ng,) per-geom friction coeff
+    params: ContactParams,
+    m_solo: jax.Array,            # (ng,) solo-contact effective mass
+    m_body: jax.Array,            # (ng,) body-origin translational eff. mass
+) -> ContactOut:
+    """Compute world contact forces for one env."""
+    p, v = geom_world_state(model, kin)
+    radius = jnp.asarray(model.geom_radius)
+
+    h = hf.sample(p[:, 0], p[:, 1])
+    n = hf.normal(p[:, 0], p[:, 1])             # (ng, 3)
+    phi = (p[:, 2] - h) * n[:, 2] - radius       # approx signed distance
+
+    dt = params.dt
+    vn = jnp.sum(v * n, axis=-1)
+    active = phi < 0.0
+    # split each body's effective mass among its simultaneously active
+    # contacts (a resting box face has 4 corner contacts sharing one body;
+    # solo-contact impulses would overshoot 4x and launch it)
+    gb_idx = jnp.asarray(model.geom_body)
+    per_body_active = jnp.zeros((model.nb,)).at[gb_idx].add(active.astype(jnp.float32))
+    share = jnp.maximum(per_body_active[gb_idx], 1.0)
+    # min(solo, body/share): never exceed what the contact POINT can absorb
+    # (overshoot reverses the point's normal velocity -> rocking/rolling
+    # energy injection), while splitting collective support across a face.
+    m_share = jnp.minimum(m_solo, m_body / share)
+    # desired normal acceleration: cancel approach velocity + pushout
+    acc_n = (-vn) / dt + params.baumgarte * jnp.maximum(-phi - params.slop, 0.0) / (dt * dt)
+    fn = m_share * acc_n
+    fn = jnp.where(active, jnp.clip(fn, 0.0, params.fn_max), 0.0)
+
+    vt = v - vn[:, None] * n
+    vt_norm = jnp.linalg.norm(vt, axis=-1)
+    # stick impulse up to the friction cone
+    ft_mag = jnp.minimum(friction * fn, m_share * vt_norm / dt)
+    ft = -vt / (vt_norm + params.vel_eps)[:, None] * ft_mag[:, None]
+
+    force = fn[:, None] * n + jnp.where(active[:, None], ft, 0.0)
+
+    # accumulate per-body wrench at body origins (world frame)
+    gb = jnp.asarray(model.geom_body)
+    nb = model.nb
+    torque = jnp.cross(p - kin.pos[gb], force)
+    body_f = jnp.zeros((nb, 3)).at[gb].add(force)
+    body_n = jnp.zeros((nb, 3)).at[gb].add(torque)
+    wrench = jnp.concatenate([body_n, body_f], axis=-1)
+    return ContactOut(geom_force=force, body_wrench=wrench, geom_pos=p,
+                      penetration=phi)
