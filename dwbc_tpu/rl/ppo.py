@@ -1,0 +1,385 @@
+"""Dual-advantage PPO with Regularized Online Adaptation, TPU-native.
+
+Re-design of the reference algorithm (rsl_rl algorithms/ppo.py) as pure
+jitted functions over a PPOState pytree:
+  * 2-dim (leg, arm) rewards/values/advantages throughout
+    (rollout_storage.py:70-78);
+  * advantage mixing with the ramped kappa schedule (ppo.py:199-206,
+    301-302);
+  * clipped surrogate over per-head ratios + clipped value loss
+    (ppo.py:202-216);
+  * Regularized Online Adaptation: L2(priv_latent - sg(hist_latent))
+    with the 4-number coef schedule (ppo.py:173-180);
+  * DAgger-style hist-encoder regression phase with its own Adam
+    (ppo.py:79, 265-291);
+  * optional arm torque supervision against the OSC expert via the
+    analytic PD forward model, weight annealed to 0 (ppo.py:233-239,
+    304-324);
+  * KL-adaptive learning rate option (ppo.py:183-195);
+  * min-std floor after each update (ppo.py:293-296).
+
+Distributed stance: the update is ONE jitted function; with the batch
+sharded over the ('data',) mesh axis and params replicated, XLA inserts
+the gradient/statistic all-reduces (the explicit-NCCL layer the
+reference never had, SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models import actor_critic as ac_lib
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    """Leaf values from WidowGo1RoughCfgPPO.algorithm
+    (widowGo1_config.py:343-366), fresh-training (RESUME=False) schedules."""
+
+    clip_param: float = 0.2
+    num_learning_epochs: int = 5
+    num_mini_batches: int = 4
+    value_loss_coef: float = 1.0
+    entropy_coef: float = 0.0
+    learning_rate: float = 2e-4
+    schedule: str = "fixed"  # 'fixed' | 'adaptive'
+    desired_kl: Optional[float] = None
+    gamma: float = 0.99
+    lam: float = 0.95
+    max_grad_norm: float = 1.0
+    min_policy_std: Tuple[float, ...] = tuple(
+        [0.15, 0.25, 0.25] * 4 + [0.2] * 3 + [0.05] * 3)
+    mixing_schedule: Tuple[float, float, float] = (1.0, 0.0, 3000.0)
+    torque_supervision: bool = False
+    torque_supervision_schedule: Tuple[float, float, float] = (0.0, 1000.0, 1000.0)
+    adaptive_arm_gains: bool = False
+    dagger_update_freq: int = 20
+    priv_reg_coef_schedule: Tuple[float, float, float, float] = (0.0, 0.1, 3000.0, 7000.0)
+    num_leg_actions: int = 12
+
+
+class PPOState(struct.PyTreeNode):
+    params: Dict
+    opt_state: optax.OptState
+    hist_opt_state: optax.OptState
+    learning_rate: jax.Array
+    counter: jax.Array  # update iterations completed
+
+
+class Transition(NamedTuple):
+    """One rollout step, batched (T, N, ...) after the scan."""
+
+    obs: jax.Array               # (..., num_obs)
+    actions: jax.Array           # (..., 18)
+    rewards: jax.Array           # (..., 2) [leg, arm]
+    dones: jax.Array             # (...,) bool
+    time_outs: jax.Array         # (...,) bool
+    values: jax.Array            # (..., 2)
+    log_probs: jax.Array         # (..., 2)
+    mu: jax.Array                # (..., 18)
+    sigma: jax.Array             # (..., 18)
+    target_arm_torques: jax.Array    # (..., 6) zeros if unused
+    current_arm_dof_pos: jax.Array   # (..., 6)
+    current_arm_dof_vel: jax.Array   # (..., 6)
+
+
+def make_optimizers(cfg: PPOConfig, params):
+    """Main Adam over all params + masked Adam over the history encoder
+    (the DAgger phase trains only the adaptation module, ppo.py:79)."""
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.inject_hyperparams(optax.adam)(learning_rate=cfg.learning_rate),
+    )
+
+    def hist_mask(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: any(
+                getattr(k, "key", None) == "history_encoder" for k in path),
+            params)
+
+    hist_tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.masked(optax.adam(cfg.learning_rate), hist_mask(params)),
+    )
+    return tx, hist_tx
+
+
+def init_state(cfg: PPOConfig, params) -> PPOState:
+    tx, hist_tx = make_optimizers(cfg, params)
+    return PPOState(
+        params=params,
+        opt_state=tx.init(params),
+        hist_opt_state=hist_tx.init(params),
+        learning_rate=jnp.asarray(cfg.learning_rate),
+        counter=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# schedules (ppo.py:301-305, :178-179)
+
+
+def mixing_ratio(cfg: PPOConfig, counter):
+    s = cfg.mixing_schedule
+    return jnp.clip((counter - s[1]) / s[2], 0.0, 1.0) * s[0]
+
+
+def torque_supervision_weight(cfg: PPOConfig, counter):
+    s = cfg.torque_supervision_schedule
+    return (1.0 - jnp.clip((counter - s[1]) / s[2], 0.0, 1.0)) * s[0]
+
+
+def priv_reg_coef(cfg: PPOConfig, counter):
+    s = cfg.priv_reg_coef_schedule
+    stage = jnp.clip((counter - s[2]) / s[3], 0.0, 1.0)
+    return stage * (s[1] - s[0]) + s[0]
+
+
+# ---------------------------------------------------------------------------
+# GAE (rollout_storage.py:136-150) — lax.scan over T, vectorized over N, 2
+
+
+def compute_gae(cfg: PPOConfig, traj: Transition, last_values: jax.Array):
+    """Returns (returns, advantages) with global advantage normalization.
+
+    Timeout bootstrap mirrors ppo.py:133-134: rewards += gamma * values *
+    time_out before GAE."""
+    rewards = traj.rewards + cfg.gamma * traj.values * traj.time_outs[..., None]
+    not_done = 1.0 - traj.dones[..., None].astype(jnp.float32)
+
+    def scan_fn(carry, x):
+        advantage, next_values = carry
+        reward, value, nd = x
+        delta = reward + nd * cfg.gamma * next_values - value
+        advantage = delta + nd * cfg.gamma * cfg.lam * advantage
+        return (advantage, value), advantage
+
+    (_, _), advs = jax.lax.scan(
+        scan_fn,
+        (jnp.zeros_like(last_values), last_values),
+        (rewards, traj.values, not_done),
+        reverse=True,
+    )
+    returns = advs + traj.values
+    advantages = (advs - advs.mean()) / (advs.std() + 1e-8)
+    return returns, advantages
+
+
+# ---------------------------------------------------------------------------
+# PPO update
+
+
+def update(
+    cfg: PPOConfig,
+    model: ac_lib.ActorCritic,
+    state: PPOState,
+    traj: Transition,
+    returns: jax.Array,
+    advantages: jax.Array,
+    key: jax.Array,
+    arm_default: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
+):
+    """One full PPO update: num_learning_epochs x num_mini_batches
+    minibatch gradient steps over the flattened (T*N) batch."""
+    tx, _ = make_optimizers(cfg, state.params)
+    T, N = traj.dones.shape
+    B = T * N
+    mb_size = B // cfg.num_mini_batches
+
+    flat = jax.tree.map(lambda x: x.reshape((B,) + x.shape[2:]), traj)
+    f_returns = returns.reshape(B, 2)
+    f_adv = advantages.reshape(B, 2)
+
+    perm = jax.random.permutation(key, B)
+    mix = mixing_ratio(cfg, state.counter)
+    reg_coef = priv_reg_coef(cfg, state.counter)
+    ts_weight = torque_supervision_weight(cfg, state.counter)
+
+    def loss_fn(params, mb, lr_now):
+        obs = mb["obs"]
+        mean = model.apply(params, obs, False, method="act_mean")
+        std = params["params"]["std"]
+        logp = ac_lib.log_prob_per_head(mb["actions"], mean, std,
+                                        cfg.num_leg_actions)
+        value = model.apply(params, obs, method="evaluate")
+        entropy = ac_lib.entropy_per_head(std, (obs.shape[0],),
+                                          cfg.num_leg_actions)
+
+        # ROA regularizer (ppo.py:173-180)
+        priv_latent = model.apply(params, obs, method="priv_latent")
+        hist_latent = jax.lax.stop_gradient(
+            model.apply(params, obs, method="hist_latent"))
+        priv_reg_loss = jnp.linalg.norm(priv_latent - hist_latent, axis=-1).mean()
+
+        # advantage mixing (ppo.py:199-201)
+        adv = mb["adv"]
+        mixed = jnp.stack(
+            [adv[:, 0] + mix * adv[:, 1], adv[:, 1] + mix * adv[:, 0]], -1)
+
+        ratio = jnp.exp(logp - mb["logp"])
+        surr = -mixed * ratio
+        surr_clipped = -mixed * jnp.clip(ratio, 1 - cfg.clip_param,
+                                         1 + cfg.clip_param)
+        surrogate_loss = jnp.maximum(surr, surr_clipped).mean()
+
+        v_clipped = mb["values"] + jnp.clip(value - mb["values"],
+                                            -cfg.clip_param, cfg.clip_param)
+        v_loss = jnp.maximum(jnp.square(value - mb["returns"]),
+                             jnp.square(v_clipped - mb["returns"])).mean()
+
+        loss = (surrogate_loss + cfg.value_loss_coef * v_loss
+                - cfg.entropy_coef * entropy.mean()
+                + reg_coef * priv_reg_loss)
+
+        aux = dict(value_loss=v_loss, surrogate_loss=surrogate_loss,
+                   priv_reg_loss=priv_reg_loss,
+                   arm_torques_loss=jnp.zeros(()))
+
+        if cfg.torque_supervision and arm_default is not None:
+            p_g, d_g, def_pos = arm_default
+            act_mean = model.apply(params, obs, False,
+                                   method="act_mean")
+            if cfg.adaptive_arm_gains:
+                target_pos = act_mean[:, 12:-6]
+                delta_p = act_mean[:, -6:]
+                pg = p_g + delta_p
+                dg = 2.0 * jnp.sqrt(pg)
+            else:
+                target_pos = act_mean[:, -6:]
+                pg, dg = p_g, d_g
+            arm_tau = pg * (target_pos + def_pos - mb["arm_pos"]) - dg * mb["arm_vel"]
+            ts_loss = jnp.square(arm_tau - mb["arm_tau"]).mean()
+            loss = loss + ts_loss * ts_weight
+            aux["arm_torques_loss"] = ts_loss
+
+        # KL for adaptive LR (ppo.py:183-187)
+        old_mu, old_sigma = mb["mu"], mb["sigma"]
+        kl = jnp.sum(
+            jnp.log(std / old_sigma + 1e-5)
+            + (jnp.square(old_sigma) + jnp.square(old_mu - mean))
+            / (2.0 * jnp.square(std)) - 0.5, axis=-1)
+        aux["kl_mean"] = jax.lax.stop_gradient(kl.mean())
+        return loss, aux
+
+    def minibatch_step(carry, idx_slice):
+        params, opt_state, lr, metrics = carry
+        mb = {
+            "obs": flat.obs[idx_slice],
+            "actions": flat.actions[idx_slice],
+            "logp": flat.log_probs[idx_slice],
+            "values": flat.values[idx_slice],
+            "mu": flat.mu[idx_slice],
+            "sigma": flat.sigma[idx_slice],
+            "returns": f_returns[idx_slice],
+            "adv": f_adv[idx_slice],
+            "arm_tau": flat.target_arm_torques[idx_slice],
+            "arm_pos": flat.current_arm_dof_pos[idx_slice],
+            "arm_vel": flat.current_arm_dof_vel[idx_slice],
+        }
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, mb, lr)
+
+        # adaptive-KL LR (ppo.py:189-195)
+        if cfg.desired_kl is not None and cfg.schedule == "adaptive":
+            kl = aux["kl_mean"]
+            lr = jnp.where(kl > cfg.desired_kl * 2.0,
+                           jnp.maximum(1e-5, lr / 1.5), lr)
+            lr = jnp.where((kl < cfg.desired_kl / 2.0) & (kl > 0.0),
+                           jnp.minimum(1e-2, lr * 1.5), lr)
+        # inject current lr into the optimizer hyperparams
+        opt_state[1].hyperparams["learning_rate"] = lr
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {
+            "value_loss": metrics["value_loss"] + aux["value_loss"],
+            "surrogate_loss": metrics["surrogate_loss"] + aux["surrogate_loss"],
+            "priv_reg_loss": metrics["priv_reg_loss"] + aux["priv_reg_loss"],
+            "arm_torques_loss": metrics["arm_torques_loss"] + aux["arm_torques_loss"],
+        }
+        return (params, opt_state, lr, metrics), None
+
+    zero_metrics = {k: jnp.zeros(()) for k in
+                    ("value_loss", "surrogate_loss", "priv_reg_loss",
+                     "arm_torques_loss")}
+    params, opt_state, lr = state.params, state.opt_state, state.learning_rate
+    carry = (params, opt_state, lr, zero_metrics)
+    # same permutation reused every epoch, like the reference's single
+    # randperm (rollout_storage.py:163); scan keeps the compiled graph small
+    idx_mat = jnp.tile(
+        perm[: cfg.num_mini_batches * mb_size].reshape(cfg.num_mini_batches,
+                                                       mb_size),
+        (cfg.num_learning_epochs, 1))
+    carry, _ = jax.lax.scan(minibatch_step, carry, idx_mat)
+    params, opt_state, lr, metrics = carry
+
+    # min-std floor (ppo.py:293-296)
+    params = enforce_min_std(cfg, params)
+
+    n_updates = cfg.num_learning_epochs * cfg.num_mini_batches
+    metrics = {k: v / n_updates for k, v in metrics.items()}
+    metrics["mixing_ratio"] = mix
+    metrics["priv_reg_coef"] = reg_coef
+    metrics["torque_supervision_weight"] = ts_weight
+    metrics["hist_latent_loss"] = jnp.zeros(())
+
+    new_state = state.replace(
+        params=params, opt_state=opt_state, learning_rate=lr,
+        counter=state.counter + 1)
+    return new_state, metrics
+
+
+def update_dagger(
+    cfg: PPOConfig,
+    model: ac_lib.ActorCritic,
+    state: PPOState,
+    traj: Transition,
+    key: jax.Array,
+):
+    """DAgger phase: regress hist latent <- sg(priv latent), training only
+    the history encoder (ppo.py:265-291)."""
+    _, hist_tx = make_optimizers(cfg, state.params)
+    T, N = traj.dones.shape
+    B = T * N
+    mb_size = B // cfg.num_mini_batches
+    flat_obs = traj.obs.reshape(B, -1)
+    perm = jax.random.permutation(key, B)
+
+    def loss_fn(params, obs):
+        priv = jax.lax.stop_gradient(
+            model.apply(params, obs, method="priv_latent"))
+        hist = model.apply(params, obs, method="hist_latent")
+        return jnp.linalg.norm(priv - hist, axis=-1).mean()
+
+    def mb_step(carry, idx):
+        params, opt_state, total = carry
+        loss, grads = jax.value_and_grad(loss_fn)(params, flat_obs[idx])
+        updates, opt_state = hist_tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, total + loss), None
+
+    idx_mat = jnp.tile(
+        perm[: cfg.num_mini_batches * mb_size].reshape(cfg.num_mini_batches,
+                                                       mb_size),
+        (cfg.num_learning_epochs, 1))
+    (params, opt_state, total), _ = jax.lax.scan(
+        mb_step, (state.params, state.hist_opt_state, jnp.zeros(())), idx_mat)
+    n_updates = cfg.num_learning_epochs * cfg.num_mini_batches
+    metrics = {"hist_latent_loss": total / n_updates}
+    new_state = state.replace(params=params, hist_opt_state=opt_state,
+                              counter=state.counter + 1)
+    return new_state, metrics
+
+
+def enforce_min_std(cfg: PPOConfig, params):
+    floor = jnp.asarray(cfg.min_policy_std)
+    std = params["params"]["std"]
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: jnp.maximum(x, floor)
+        if (path and getattr(path[-1], "key", None) == "std") else x,
+        params)

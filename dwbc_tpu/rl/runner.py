@@ -1,0 +1,282 @@
+"""On-policy training runner: one jitted function per iteration.
+
+Re-design of the reference OnPolicyRunner (on_policy_runner.py:93-180):
+the 40-step rollout is a lax.scan fused with the policy forward pass and
+env step in ONE compiled program — no per-step host round trips, no
+.to(device) copies (SURVEY.md §3.1 hot loops). The PPO update (or the
+DAgger phase every dagger_update_freq iters, :129, :166-169) runs as a
+second jitted program on the on-device trajectory.
+
+Emits the reference's metric names (Perf/total_fps, Perf/collection time,
+Perf/learning_time, Loss/*, Policy/*_noise_std — on_policy_runner.py:
+206-231) for direct comparability.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from collections import deque
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import actor_critic as ac_lib
+from . import ppo as ppo_lib
+
+
+class Rollout:
+    """Static bundle: env + model + ppo cfg; builds the jitted iteration."""
+
+    def __init__(self, env, model: ac_lib.ActorCritic, cfg: ppo_lib.PPOConfig,
+                 num_steps: int = 40):
+        self.env = env
+        self.model = model
+        self.cfg = cfg
+        self.num_steps = num_steps
+
+        # arm PD constants for the torque-supervision fk model
+        # (on_policy_runner.py:91)
+        self.arm_default = (
+            jnp.asarray(env.p_gains[12:18]),
+            jnp.asarray(env.d_gains[12:18]),
+            jnp.asarray(env.default_dof_pos[12:18]),
+        )
+
+        self._collect = {}
+        self._learn = jax.jit(functools.partial(self._learn_impl, False))
+        self._learn_dagger = jax.jit(functools.partial(self._learn_impl, True))
+
+    # -- rollout ------------------------------------------------------
+
+    def collect(self, params, env_state, obs, counter, key, hist_encoding: bool):
+        fn = self._collect.get(hist_encoding)
+        if fn is None:
+            fn = jax.jit(functools.partial(self._collect_impl, hist_encoding))
+            self._collect[hist_encoding] = fn
+        return fn(params, env_state, obs, counter, key)
+
+    def _collect_impl(self, hist_encoding, params, env_state, obs, counter, key):
+        """Scan num_steps of (act -> env.step), accumulating Transitions and
+        episode diagnostics."""
+        env = self.env
+        model = self.model
+
+        def step_fn(carry, key_t):
+            env_state, obs, rew_sum, arm_rew_sum, ep_len, stats, nres = carry
+            mean = model.apply(params, obs, hist_encoding, method="act_mean")
+            std = params["params"]["std"]
+            actions = ac_lib.normal_sample(key_t, mean, std)
+            logp = ac_lib.log_prob_per_head(actions, mean, std,
+                                            self.cfg.num_leg_actions)
+            values = model.apply(params, obs, method="evaluate")
+            env_state, out = env.step(env_state, actions, counter)
+            tr = ppo_lib.Transition(
+                obs=obs, actions=actions,
+                rewards=jnp.stack([out.rew, out.arm_rew], -1),
+                dones=out.reset, time_outs=out.time_outs,
+                values=values, log_probs=logp, mu=mean,
+                sigma=jnp.broadcast_to(std, mean.shape),
+                target_arm_torques=out.extras.get(
+                    "target_arm_torques", jnp.zeros((env.num_envs, 6))),
+                current_arm_dof_pos=out.extras.get(
+                    "current_arm_dof_pos", jnp.zeros((env.num_envs, 6))),
+                current_arm_dof_vel=out.extras.get(
+                    "current_arm_dof_vel", jnp.zeros((env.num_envs, 6))),
+            )
+            # episode bookkeeping (on_policy_runner.py:140-154)
+            rew_sum = rew_sum + out.rew
+            arm_rew_sum = arm_rew_sum + out.arm_rew
+            ep_len = ep_len + 1.0
+            done_f = out.reset.astype(jnp.float32)
+            stats = {
+                "reward_sum": stats["reward_sum"] + jnp.sum(rew_sum * done_f),
+                "arm_reward_sum": stats["arm_reward_sum"] + jnp.sum(arm_rew_sum * done_f),
+                "len_sum": stats["len_sum"] + jnp.sum(ep_len * done_f),
+                **{k: stats[k] + v for k, v in out.episode_stats.items()},
+            }
+            nres = nres + out.num_resets
+            rew_sum = rew_sum * (1 - done_f)
+            arm_rew_sum = arm_rew_sum * (1 - done_f)
+            ep_len = ep_len * (1 - done_f)
+            return (env_state, out.obs, rew_sum, arm_rew_sum, ep_len, stats,
+                    nres), tr
+
+        N = env.num_envs
+        zeros = jnp.zeros((N,))
+        stat_keys = (["rew_" + k for k in env.reward_names + env.arm_reward_names]
+                     + ["metric_" + k for k in env.metric_names])
+        stats0 = {k: jnp.zeros(()) for k in stat_keys}
+        stats0.update(reward_sum=jnp.zeros(()), arm_reward_sum=jnp.zeros(()),
+                      len_sum=jnp.zeros(()))
+        keys = jax.random.split(key, self.num_steps)
+        carry0 = (env_state, obs, zeros, zeros, zeros, stats0, jnp.zeros((), jnp.int32))
+        carry, traj = jax.lax.scan(step_fn, carry0, keys)
+        env_state, obs = carry[0], carry[1]
+        stats, nres = carry[5], carry[6]
+        return env_state, obs, traj, stats, nres
+
+    # -- learn --------------------------------------------------------
+
+    def _learn_impl(self, dagger: bool, ppo_state, traj, last_obs, key):
+        last_values = self.model.apply(ppo_state.params, last_obs,
+                                       method="evaluate")
+        if dagger:
+            return ppo_lib.update_dagger(self.cfg, self.model, ppo_state,
+                                         traj, key)
+        returns, advantages = ppo_lib.compute_gae(self.cfg, traj, last_values)
+        return ppo_lib.update(self.cfg, self.model, ppo_state, traj, returns,
+                              advantages, key,
+                              arm_default=self.arm_default)
+
+    def learn_step(self, ppo_state, traj, last_obs, key, dagger: bool):
+        fn = self._learn_dagger if dagger else self._learn
+        return fn(ppo_state, traj, last_obs, key)
+
+
+class OnPolicyRunner:
+    """Host-side training driver: logging, checkpoints, iteration loop."""
+
+    def __init__(self, env, cfg: ppo_lib.PPOConfig = ppo_lib.PPOConfig(),
+                 num_steps_per_env: int = 40, log_dir: Optional[str] = None,
+                 seed: int = 1, save_interval: int = 500):
+        self.env = env
+        self.cfg = cfg
+        self.log_dir = log_dir
+        self.save_interval = save_interval
+        self.model = ac_lib.ActorCritic(
+            num_prop=env.num_proprio, num_priv=env.num_priv,
+            num_hist=env.cfg.env.history_len)
+        key = jax.random.PRNGKey(seed)
+        self.key, k_init, k_env = jax.random.split(key, 3)
+        dummy_obs = jnp.zeros((1, env.num_obs))
+        params = self.model.init(k_init, dummy_obs)
+        self.ppo_state = ppo_lib.init_state(cfg, params)
+        self.rollout = Rollout(env, self.model, cfg, num_steps_per_env)
+        self.env_state, self.obs = env.reset(k_env)
+        self.it = 0
+        self.tot_timesteps = 0
+        self.tot_time = 0.0
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            self._log_f = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        else:
+            self._log_f = None
+
+    def learn(self, num_iterations: int, log_every: int = 10):
+        env = self.env
+        for it in range(self.it, self.it + num_iterations):
+            counter = jnp.asarray(it + 1, jnp.float32)  # curriculum tick
+            dagger = (it % self.cfg.dagger_update_freq) == 0
+            self.key, k_roll, k_up = jax.random.split(self.key, 3)
+
+            t0 = time.time()
+            (self.env_state, self.obs, traj, stats, nres) = self.rollout.collect(
+                self.ppo_state.params, self.env_state, self.obs, counter,
+                k_roll, hist_encoding=dagger)
+            jax.block_until_ready(self.obs)
+            collection_time = time.time() - t0
+
+            t0 = time.time()
+            self.ppo_state, metrics = self.rollout.learn_step(
+                self.ppo_state, traj, self.obs, k_up, dagger)
+            jax.block_until_ready(self.ppo_state.counter)
+            learn_time = time.time() - t0
+
+            self.tot_timesteps += self.rollout.num_steps * env.num_envs
+            self.tot_time += collection_time + learn_time
+            self.it = it + 1
+
+            if it % log_every == 0 or it == num_iterations - 1:
+                self._log(it, metrics, stats, nres, collection_time, learn_time)
+            if self.log_dir and it > 0 and it % self.save_interval == 0:
+                self.save(os.path.join(self.log_dir, f"model_{it}"))
+        if self.log_dir:
+            self.save(os.path.join(self.log_dir, f"model_{self.it}"))
+
+    def _log(self, it, metrics, stats, nres, collection_time, learn_time):
+        fps = int(self.rollout.num_steps * self.env.num_envs
+                  / max(collection_time + learn_time, 1e-9))
+        nres = max(int(nres), 1)
+        std = np.asarray(self.ppo_state.params["params"]["std"])
+        d = {
+            "it": it,
+            "Perf/total_fps": fps,
+            "Perf/collection time": collection_time,
+            "Perf/learning_time": learn_time,
+            "Loss/learning_rate": float(self.ppo_state.learning_rate),
+            "Policy/leg_mean_noise_std": float(std[:12].mean()),
+            "Policy/arm_mean_noise_std": float(std[12:].mean()),
+            "Train/mean_reward": float(stats["reward_sum"]) / nres,
+            "Train/mean_arm_reward": float(stats["arm_reward_sum"]) / nres,
+            "Train/mean_episode_length": float(stats["len_sum"]) / nres,
+            "Train/dones": nres / self.env.num_envs / self.rollout.num_steps,
+        }
+        for k, v in metrics.items():
+            d["Loss/" + k] = float(v)
+        for k, v in stats.items():
+            if k.startswith(("rew_", "metric_")):
+                d["Episode/" + k] = float(v) / nres
+        line = (f"it {it:5d} | fps {fps:8d} | rew {d['Train/mean_reward']:.3f}"
+                f" | arm {d['Train/mean_arm_reward']:.3f}"
+                f" | len {d['Train/mean_episode_length']:.1f}"
+                f" | collect {collection_time:.3f}s learn {learn_time:.3f}s")
+        print(line, flush=True)
+        if self._log_f:
+            self._log_f.write(json.dumps(d) + "\n")
+            self._log_f.flush()
+
+    # -- checkpoint ---------------------------------------------------
+
+    def save(self, path: str):
+        """Orbax-style checkpoint of params/opt/iteration (improving on the
+        reference by also saving the curriculum counter — SURVEY.md §5)."""
+        import orbax.checkpoint as ocp
+        ckpt = {
+            "params": self.ppo_state.params,
+            "opt_state": self.ppo_state.opt_state,
+            "hist_opt_state": self.ppo_state.hist_opt_state,
+            "learning_rate": self.ppo_state.learning_rate,
+            "counter": self.ppo_state.counter,
+            "it": jnp.asarray(self.it),
+        }
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path), ckpt, force=True)
+        ckptr.wait_until_finished()
+
+    def load(self, path: str, load_optimizer: bool = True):
+        import orbax.checkpoint as ocp
+        template = {
+            "params": self.ppo_state.params,
+            "opt_state": self.ppo_state.opt_state,
+            "hist_opt_state": self.ppo_state.hist_opt_state,
+            "learning_rate": self.ppo_state.learning_rate,
+            "counter": self.ppo_state.counter,
+            "it": jnp.asarray(self.it),
+        }
+        ckptr = ocp.StandardCheckpointer()
+        ckpt = ckptr.restore(os.path.abspath(path), target=template)
+        self.ppo_state = self.ppo_state.replace(
+            params=ckpt["params"],
+            opt_state=ckpt["opt_state"] if load_optimizer else self.ppo_state.opt_state,
+            hist_opt_state=ckpt["hist_opt_state"] if load_optimizer else self.ppo_state.hist_opt_state,
+            learning_rate=ckpt["learning_rate"],
+            counter=ckpt["counter"])
+        self.it = int(ckpt["it"])
+
+    def get_inference_policy(self, stochastic: bool = False):
+        params = self.ppo_state.params
+        model = self.model
+
+        @jax.jit
+        def policy(obs, key=None):
+            mean = model.apply(params, obs, True, method="act_mean")
+            if stochastic and key is not None:
+                return ac_lib.normal_sample(key, mean, params["params"]["std"])
+            return mean
+
+        return policy

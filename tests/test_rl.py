@@ -1,0 +1,203 @@
+"""Tests for networks, distribution math, GAE, and the PPO update —
+pure-function unit tests the reference never had (SURVEY.md §4)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dwbc_tpu.models import actor_critic as ac_lib
+from dwbc_tpu.rl import ppo as ppo_lib
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = ac_lib.ActorCritic()
+    obs = jnp.zeros((2, 76 * 11 + 24))
+    params = model.init(jax.random.PRNGKey(0), obs)
+    return model, params
+
+
+class TestNetworks:
+    def test_shapes(self, model_and_params):
+        model, params = model_and_params
+        obs = jax.random.normal(jax.random.PRNGKey(1), (5, 860))
+        mean = model.apply(params, obs, False, method="act_mean")
+        assert mean.shape == (5, 18)
+        # tanh heads bound the mean
+        assert float(jnp.abs(mean).max()) <= 1.0
+        value = model.apply(params, obs, method="evaluate")
+        assert value.shape == (5, 2)
+        priv = model.apply(params, obs, method="priv_latent")
+        hist = model.apply(params, obs, method="hist_latent")
+        assert priv.shape == (5, 20) and hist.shape == (5, 20)
+
+    def test_hist_vs_priv_paths_differ(self, model_and_params):
+        model, params = model_and_params
+        obs = jax.random.normal(jax.random.PRNGKey(2), (3, 860))
+        m1 = model.apply(params, obs, False, method="act_mean")
+        m2 = model.apply(params, obs, True, method="act_mean")
+        assert not np.allclose(np.asarray(m1), np.asarray(m2))
+
+    def test_history_encoder_variants(self):
+        for t in (10, 20, 50):
+            enc = ac_lib.StateHistoryEncoder(tsteps=t, output_size=20)
+            x = jnp.zeros((2, t, 76))
+            p = enc.init(jax.random.PRNGKey(0), x)
+            y = enc.apply(p, x)
+            assert y.shape == (2, 20)
+
+    def test_log_prob_matches_scipy(self):
+        key = jax.random.PRNGKey(3)
+        mean = jax.random.normal(key, (4, 18))
+        std = jnp.abs(jax.random.normal(jax.random.fold_in(key, 1), (18,))) + 0.5
+        actions = jax.random.normal(jax.random.fold_in(key, 2), (4, 18))
+        lp = ac_lib.log_prob_per_head(actions, mean, std)
+        assert lp.shape == (4, 2)
+        from scipy import stats as st
+        ref = st.norm.logpdf(np.asarray(actions), np.asarray(mean),
+                             np.asarray(std))
+        np.testing.assert_allclose(np.asarray(lp[:, 0]), ref[:, :12].sum(-1),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(lp[:, 1]), ref[:, 12:].sum(-1),
+                                   rtol=1e-5)
+
+
+class TestGAE:
+    def test_against_reference_loop(self):
+        """Vectorized lax.scan GAE must match the reference's python loop
+        (rollout_storage.py:136-150) including the 2-dim reward axis."""
+        cfg = ppo_lib.PPOConfig()
+        T, N = 7, 3
+        key = jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 4)
+        rewards = jax.random.normal(ks[0], (T, N, 2))
+        values = jax.random.normal(ks[1], (T, N, 2))
+        dones = jax.random.bernoulli(ks[2], 0.2, (T, N))
+        last_values = jax.random.normal(ks[3], (N, 2))
+        traj = ppo_lib.Transition(
+            obs=jnp.zeros((T, N, 4)), actions=jnp.zeros((T, N, 18)),
+            rewards=rewards, dones=dones,
+            time_outs=jnp.zeros((T, N), bool), values=values,
+            log_probs=jnp.zeros((T, N, 2)), mu=jnp.zeros((T, N, 18)),
+            sigma=jnp.ones((T, N, 18)),
+            target_arm_torques=jnp.zeros((T, N, 6)),
+            current_arm_dof_pos=jnp.zeros((T, N, 6)),
+            current_arm_dof_vel=jnp.zeros((T, N, 6)))
+        returns, advantages = ppo_lib.compute_gae(cfg, traj, last_values)
+
+        # naive reference implementation
+        r = np.asarray(rewards)
+        v = np.asarray(values)
+        d = np.asarray(dones)[..., None].astype(np.float32)
+        lv = np.asarray(last_values)
+        adv = np.zeros((N, 2))
+        ret = np.zeros((T, N, 2))
+        for t in reversed(range(T)):
+            nv = lv if t == T - 1 else v[t + 1]
+            nd = 1.0 - d[t]
+            delta = r[t] + nd * cfg.gamma * nv - v[t]
+            adv = delta + nd * cfg.gamma * cfg.lam * adv
+            ret[t] = adv + v[t]
+        np.testing.assert_allclose(np.asarray(returns), ret, rtol=1e-4,
+                                   atol=1e-5)
+        raw = ret - v
+        norm = (raw - raw.mean()) / (raw.std() + 1e-8)
+        np.testing.assert_allclose(np.asarray(advantages), norm, rtol=1e-3,
+                                   atol=1e-4)
+
+    def test_timeout_bootstrap(self):
+        """time_out adds gamma*value to the reward (ppo.py:133-134)."""
+        cfg = ppo_lib.PPOConfig()
+        T, N = 2, 1
+        values = jnp.ones((T, N, 2)) * 3.0
+        base = dict(
+            obs=jnp.zeros((T, N, 4)), actions=jnp.zeros((T, N, 18)),
+            rewards=jnp.ones((T, N, 2)), values=values,
+            log_probs=jnp.zeros((T, N, 2)), mu=jnp.zeros((T, N, 18)),
+            sigma=jnp.ones((T, N, 18)),
+            target_arm_torques=jnp.zeros((T, N, 6)),
+            current_arm_dof_pos=jnp.zeros((T, N, 6)),
+            current_arm_dof_vel=jnp.zeros((T, N, 6)))
+        t1 = ppo_lib.Transition(dones=jnp.ones((T, N), bool),
+                                time_outs=jnp.ones((T, N), bool), **base)
+        t2 = ppo_lib.Transition(dones=jnp.ones((T, N), bool),
+                                time_outs=jnp.zeros((T, N), bool), **base)
+        r1, _ = ppo_lib.compute_gae(cfg, t1, jnp.zeros((N, 2)))
+        r2, _ = ppo_lib.compute_gae(cfg, t2, jnp.zeros((N, 2)))
+        np.testing.assert_allclose(np.asarray(r1 - r2), cfg.gamma * 3.0,
+                                   rtol=1e-5)
+
+
+class TestPPOUpdate:
+    def _traj(self, model, params, T=4, N=6):
+        key = jax.random.PRNGKey(0)
+        obs = jax.random.normal(key, (T, N, 860))
+        mean = model.apply(params, obs.reshape(T * N, -1), False,
+                           method="act_mean").reshape(T, N, 18)
+        std = params["params"]["std"]
+        actions = mean + 0.1
+        logp = ac_lib.log_prob_per_head(actions, mean, std)
+        return ppo_lib.Transition(
+            obs=obs, actions=actions,
+            rewards=jax.random.normal(jax.random.fold_in(key, 1), (T, N, 2)),
+            dones=jnp.zeros((T, N), bool),
+            time_outs=jnp.zeros((T, N), bool),
+            values=jnp.zeros((T, N, 2)), log_probs=logp, mu=mean,
+            sigma=jnp.broadcast_to(std, mean.shape),
+            target_arm_torques=jnp.zeros((T, N, 6)),
+            current_arm_dof_pos=jnp.zeros((T, N, 6)),
+            current_arm_dof_vel=jnp.zeros((T, N, 6)))
+
+    def test_update_runs_and_respects_min_std(self, model_and_params):
+        model, params = model_and_params
+        # squash std below the floor; update must clamp it back (0.1 not
+        # 0.01: with pathologically small std the importance ratio
+        # overflows — as it would in the reference)
+        params = jax.tree_util.tree_map_with_path(
+            lambda p, x: jnp.full_like(x, 0.1)
+            if (p and getattr(p[-1], "key", None) == "std") else x, params)
+        cfg = ppo_lib.PPOConfig(num_learning_epochs=1, num_mini_batches=2)
+        state = ppo_lib.init_state(cfg, params)
+        traj = self._traj(model, params)
+        returns, advs = ppo_lib.compute_gae(cfg, traj, jnp.zeros((6, 2)))
+        new_state, metrics = ppo_lib.update(cfg, model, state, traj, returns,
+                                            advs, jax.random.PRNGKey(1))
+        assert int(new_state.counter) == 1
+        std = np.asarray(new_state.params["params"]["std"])
+        floor = np.asarray(cfg.min_policy_std)
+        assert np.all(std >= floor - 1e-6)
+        assert np.isfinite(float(metrics["value_loss"]))
+
+    def test_dagger_trains_only_history_encoder(self, model_and_params):
+        model, params = model_and_params
+        cfg = ppo_lib.PPOConfig(num_learning_epochs=1, num_mini_batches=2)
+        state = ppo_lib.init_state(cfg, params)
+        traj = self._traj(model, params)
+        new_state, metrics = ppo_lib.update_dagger(cfg, model, state, traj,
+                                                   jax.random.PRNGKey(1))
+        p0 = state.params["params"]
+        p1 = new_state.params["params"]
+        # history encoder changed
+        h0 = jax.tree_util.tree_leaves(p0["actor"]["history_encoder"])
+        h1 = jax.tree_util.tree_leaves(p1["actor"]["history_encoder"])
+        assert any(not np.allclose(a, b) for a, b in zip(h0, h1))
+        # everything else untouched
+        b0 = jax.tree_util.tree_leaves(p0["actor"]["backbone_layers_0"])
+        b1 = jax.tree_util.tree_leaves(p1["actor"]["backbone_layers_0"])
+        for a, b in zip(b0, b1):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_mixing_schedule(self):
+        cfg = ppo_lib.PPOConfig(mixing_schedule=(1.0, 0.0, 3000.0))
+        assert float(ppo_lib.mixing_ratio(cfg, jnp.asarray(0.0))) == 0.0
+        assert float(ppo_lib.mixing_ratio(cfg, jnp.asarray(1500.0))) == 0.5
+        assert float(ppo_lib.mixing_ratio(cfg, jnp.asarray(9000.0))) == 1.0
+
+    def test_priv_reg_schedule(self):
+        cfg = ppo_lib.PPOConfig(priv_reg_coef_schedule=(0.0, 0.1, 3000.0, 7000.0))
+        assert float(ppo_lib.priv_reg_coef(cfg, jnp.asarray(0.0))) == 0.0
+        np.testing.assert_allclose(
+            float(ppo_lib.priv_reg_coef(cfg, jnp.asarray(10000.0))), 0.1)
