@@ -215,7 +215,9 @@ def update(
         priv_latent = model.apply(params, obs, method="priv_latent")
         hist_latent = jax.lax.stop_gradient(
             model.apply(params, obs, method="hist_latent"))
-        priv_reg_loss = jnp.linalg.norm(priv_latent - hist_latent, axis=-1).mean()
+        diff = priv_latent - hist_latent
+        # safe norm: grad of ||x|| at x=0 is NaN otherwise
+        priv_reg_loss = jnp.sqrt(jnp.sum(jnp.square(diff), -1) + 1e-12).mean()
 
         # advantage mixing (ppo.py:199-201)
         adv = mb["adv"]
@@ -354,7 +356,7 @@ def update_dagger(
         priv = jax.lax.stop_gradient(
             model.apply(params, obs, method="priv_latent"))
         hist = model.apply(params, obs, method="hist_latent")
-        return jnp.linalg.norm(priv - hist, axis=-1).mean()
+        return jnp.sqrt(jnp.sum(jnp.square(priv - hist), -1) + 1e-12).mean()
 
     def mb_step(carry, idx):
         params, opt_state, total = carry
