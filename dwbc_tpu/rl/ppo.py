@@ -62,6 +62,9 @@ class PPOConfig:
     dagger_update_freq: int = 20
     priv_reg_coef_schedule: Tuple[float, float, float, float] = (0.0, 0.1, 3000.0, 7000.0)
     num_leg_actions: int = 12
+    num_heads: int = 2      # 2 = dual leg/arm (widowGo1); 1 = plain PPO
+    use_dagger: bool = True
+    use_roa: bool = True    # Regularized Online Adaptation losses
 
 
 class PPOState(struct.PyTreeNode):
@@ -141,6 +144,24 @@ def priv_reg_coef(cfg: PPOConfig, counter):
     return stage * (s[1] - s[0]) + s[0]
 
 
+def logp_heads(cfg: PPOConfig, actions, mean, std):
+    if cfg.num_heads == 1:
+        import math as _m
+        lp = (-0.5 * jnp.square((actions - mean) / std) - jnp.log(std)
+              - 0.5 * _m.log(2 * _m.pi))
+        return lp.sum(-1, keepdims=True)
+    return ac_lib.log_prob_per_head(actions, mean, std, cfg.num_leg_actions)
+
+
+def entropy_heads(cfg: PPOConfig, std, batch_shape):
+    if cfg.num_heads == 1:
+        import math as _m
+        ent = (0.5 + 0.5 * _m.log(2 * _m.pi) + jnp.log(std)).sum(-1,
+                                                                 keepdims=True)
+        return jnp.broadcast_to(ent, batch_shape + (1,))
+    return ac_lib.entropy_per_head(std, batch_shape, cfg.num_leg_actions)
+
+
 # ---------------------------------------------------------------------------
 # GAE (rollout_storage.py:136-150) — lax.scan over T, vectorized over N, 2
 
@@ -205,24 +226,28 @@ def update(
         obs = mb["obs"]
         mean = model.apply(params, obs, False, method="act_mean")
         std = params["params"]["std"]
-        logp = ac_lib.log_prob_per_head(mb["actions"], mean, std,
-                                        cfg.num_leg_actions)
+        logp = logp_heads(cfg, mb["actions"], mean, std)
         value = model.apply(params, obs, method="evaluate")
-        entropy = ac_lib.entropy_per_head(std, (obs.shape[0],),
-                                          cfg.num_leg_actions)
+        entropy = entropy_heads(cfg, std, (obs.shape[0],))
 
-        # ROA regularizer (ppo.py:173-180)
-        priv_latent = model.apply(params, obs, method="priv_latent")
-        hist_latent = jax.lax.stop_gradient(
-            model.apply(params, obs, method="hist_latent"))
-        diff = priv_latent - hist_latent
-        # safe norm: grad of ||x|| at x=0 is NaN otherwise
-        priv_reg_loss = jnp.sqrt(jnp.sum(jnp.square(diff), -1) + 1e-12).mean()
+        if cfg.use_roa:
+            # ROA regularizer (ppo.py:173-180)
+            priv_latent = model.apply(params, obs, method="priv_latent")
+            hist_latent = jax.lax.stop_gradient(
+                model.apply(params, obs, method="hist_latent"))
+            diff = priv_latent - hist_latent
+            # safe norm: grad of ||x|| at x=0 is NaN otherwise
+            priv_reg_loss = jnp.sqrt(jnp.sum(jnp.square(diff), -1) + 1e-12).mean()
+        else:
+            priv_reg_loss = jnp.zeros(())
 
         # advantage mixing (ppo.py:199-201)
         adv = mb["adv"]
-        mixed = jnp.stack(
-            [adv[:, 0] + mix * adv[:, 1], adv[:, 1] + mix * adv[:, 0]], -1)
+        if cfg.num_heads == 2:
+            mixed = jnp.stack(
+                [adv[:, 0] + mix * adv[:, 1], adv[:, 1] + mix * adv[:, 0]], -1)
+        else:
+            mixed = adv
 
         ratio = jnp.exp(logp - mb["logp"])
         surr = -mixed * ratio
@@ -381,6 +406,8 @@ def update_dagger(
 def enforce_min_std(cfg: PPOConfig, params):
     floor = jnp.asarray(cfg.min_policy_std)
     std = params["params"]["std"]
+    if floor.shape != std.shape:  # no per-joint floor for this task family
+        return params
     return jax.tree_util.tree_map_with_path(
         lambda path, x: jnp.maximum(x, floor)
         if (path and getattr(path[-1], "key", None) == "std") else x,

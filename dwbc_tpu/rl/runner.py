@@ -41,11 +41,18 @@ class Rollout:
 
         # arm PD constants for the torque-supervision fk model
         # (on_policy_runner.py:91)
-        self.arm_default = (
-            jnp.asarray(env.p_gains[12:18]),
-            jnp.asarray(env.d_gains[12:18]),
-            jnp.asarray(env.default_dof_pos[12:18]),
-        )
+        if cfg.num_heads == 2:
+            self.arm_default = (
+                jnp.asarray(env.p_gains[12:18]),
+                jnp.asarray(env.d_gains[12:18]),
+                jnp.asarray(env.default_dof_pos[12:18]),
+            )
+        else:
+            self.arm_default = None
+        # whether env.step takes the curriculum counter argument
+        import inspect
+        self.has_counter = "counter" in inspect.signature(
+            type(env).step).parameters
 
         self._collect = {}
         self._learn = jax.jit(functools.partial(self._learn_impl, False))
@@ -71,26 +78,35 @@ class Rollout:
             mean = model.apply(params, obs, hist_encoding, method="act_mean")
             std = params["params"]["std"]
             actions = ac_lib.normal_sample(key_t, mean, std)
-            logp = ac_lib.log_prob_per_head(actions, mean, std,
-                                            self.cfg.num_leg_actions)
+            logp = ppo_lib.logp_heads(self.cfg, actions, mean, std)
             values = model.apply(params, obs, method="evaluate")
-            env_state, out = env.step(env_state, actions, counter)
+            if self.has_counter:
+                env_state, out = env.step(env_state, actions, counter)
+            else:
+                env_state, out = env.step(env_state, actions)
+            arm_rew = getattr(out, "arm_rew", None)
+            if self.cfg.num_heads == 2:
+                rewards2 = jnp.stack([out.rew, arm_rew], -1)
+            else:
+                rewards2 = out.rew[..., None]
+            extras = getattr(out, "extras", {})
             tr = ppo_lib.Transition(
                 obs=obs, actions=actions,
-                rewards=jnp.stack([out.rew, out.arm_rew], -1),
+                rewards=rewards2,
                 dones=out.reset, time_outs=out.time_outs,
                 values=values, log_probs=logp, mu=mean,
                 sigma=jnp.broadcast_to(std, mean.shape),
-                target_arm_torques=out.extras.get(
+                target_arm_torques=extras.get(
                     "target_arm_torques", jnp.zeros((env.num_envs, 6))),
-                current_arm_dof_pos=out.extras.get(
+                current_arm_dof_pos=extras.get(
                     "current_arm_dof_pos", jnp.zeros((env.num_envs, 6))),
-                current_arm_dof_vel=out.extras.get(
+                current_arm_dof_vel=extras.get(
                     "current_arm_dof_vel", jnp.zeros((env.num_envs, 6))),
             )
             # episode bookkeeping (on_policy_runner.py:140-154)
             rew_sum = rew_sum + out.rew
-            arm_rew_sum = arm_rew_sum + out.arm_rew
+            arm_rew_sum = arm_rew_sum + (arm_rew if arm_rew is not None
+                                         else jnp.zeros_like(out.rew))
             ep_len = ep_len + 1.0
             done_f = out.reset.astype(jnp.float32)
             stats = {
@@ -108,8 +124,12 @@ class Rollout:
 
         N = env.num_envs
         zeros = jnp.zeros((N,))
-        stat_keys = (["rew_" + k for k in env.reward_names + env.arm_reward_names]
-                     + ["metric_" + k for k in env.metric_names])
+        arm_names = getattr(env, "arm_reward_names", [])
+        metric_names = getattr(env, "metric_names", [])
+        stat_keys = (["rew_" + k for k in list(env.reward_names) + list(arm_names)]
+                     + ["metric_" + k for k in metric_names])
+        if not hasattr(env, "arm_reward_names"):
+            stat_keys.append("terrain_level")
         stats0 = {k: jnp.zeros(()) for k in stat_keys}
         stats0.update(reward_sum=jnp.zeros(()), arm_reward_sum=jnp.zeros(()),
                       len_sum=jnp.zeros(()))
@@ -143,14 +163,21 @@ class OnPolicyRunner:
 
     def __init__(self, env, cfg: ppo_lib.PPOConfig = ppo_lib.PPOConfig(),
                  num_steps_per_env: int = 40, log_dir: Optional[str] = None,
-                 seed: int = 1, save_interval: int = 500):
+                 seed: int = 1, save_interval: int = 500, model=None):
         self.env = env
         self.cfg = cfg
         self.log_dir = log_dir
         self.save_interval = save_interval
-        self.model = ac_lib.ActorCritic(
-            num_prop=env.num_proprio, num_priv=env.num_priv,
-            num_hist=env.cfg.env.history_len)
+        if model is not None:
+            self.model = model
+        elif cfg.num_heads == 2:
+            self.model = ac_lib.ActorCritic(
+                num_prop=env.num_proprio, num_priv=env.num_priv,
+                num_hist=env.cfg.env.history_len)
+        else:
+            from ..models.mlp_actor_critic import MlpActorCritic
+            self.model = MlpActorCritic(num_obs=env.num_obs,
+                                        num_actions=env.num_actions)
         key = jax.random.PRNGKey(seed)
         self.key, k_init, k_env = jax.random.split(key, 3)
         dummy_obs = jnp.zeros((1, env.num_obs))
@@ -171,7 +198,8 @@ class OnPolicyRunner:
         env = self.env
         for it in range(self.it, self.it + num_iterations):
             counter = jnp.asarray(it + 1, jnp.float32)  # curriculum tick
-            dagger = (it % self.cfg.dagger_update_freq) == 0
+            dagger = (self.cfg.use_dagger
+                      and (it % self.cfg.dagger_update_freq) == 0)
             self.key, k_roll, k_up = jax.random.split(self.key, 3)
 
             t0 = time.time()
@@ -210,7 +238,8 @@ class OnPolicyRunner:
             "Perf/learning_time": learn_time,
             "Loss/learning_rate": float(self.ppo_state.learning_rate),
             "Policy/leg_mean_noise_std": float(std[:12].mean()),
-            "Policy/arm_mean_noise_std": float(std[12:].mean()),
+            "Policy/arm_mean_noise_std": (float(std[12:].mean())
+                                          if std.shape[0] > 12 else 0.0),
             "Train/mean_reward": float(stats["reward_sum"]) / nres,
             "Train/mean_arm_reward": float(stats["arm_reward_sum"]) / nres,
             "Train/mean_episode_length": float(stats["len_sum"]) / nres,

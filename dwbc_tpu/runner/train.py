@@ -1,0 +1,72 @@
+"""Training entry point.
+
+Usage: python -m dwbc_tpu.runner.train --task widowGo1 --num_envs 4096
+       --max_iterations 40000 --exptid my_run
+
+Mirror of reference scripts/train.py + the CLI whitelist in
+helpers.py:153-185 (task, num_envs, seed, max_iterations, resume,
+run naming)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", default="widowGo1")
+    ap.add_argument("--num_envs", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--max_iterations", type=int, default=40000)
+    ap.add_argument("--exptid", "--run_name", default="")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--checkpoint", default=None,
+                    help="explicit checkpoint path for --resume")
+    ap.add_argument("--log_root", default="logs")
+    ap.add_argument("--log_every", type=int, default=10)
+    ap.add_argument("--headless", action="store_true", help="(always headless)")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..utils.task_registry import TASKS, make_runner
+
+    if args.task not in TASKS:
+        raise SystemExit(f"unknown task {args.task!r}; have {list(TASKS)}")
+
+    run_name = args.exptid or time.strftime("%b%d_%H-%M-%S")
+    log_dir = os.path.join(args.log_root, TASKS[args.task].experiment_name,
+                           run_name)
+    env, runner, spec = make_runner(args.task, num_envs=args.num_envs,
+                                    seed=args.seed, log_dir=log_dir)
+    if args.resume:
+        ckpt = args.checkpoint or _latest_checkpoint(
+            os.path.join(args.log_root, TASKS[args.task].experiment_name))
+        print(f"resuming from {ckpt}")
+        runner.load(ckpt)
+    print(f"task={args.task} num_envs={env.num_envs} "
+          f"steps/env={spec.num_steps_per_env} log_dir={log_dir}", flush=True)
+    runner.learn(args.max_iterations, log_every=args.log_every)
+
+
+def _latest_checkpoint(exp_dir: str) -> str:
+    """Run/checkpoint discovery by directory listing (helpers.py:103-126)."""
+    runs = sorted(
+        d for d in os.listdir(exp_dir)
+        if os.path.isdir(os.path.join(exp_dir, d)))
+    for run in reversed(runs):
+        ckpts = [d for d in os.listdir(os.path.join(exp_dir, run))
+                 if d.startswith("model_")]
+        if ckpts:
+            ckpts.sort(key=lambda s: int(s.split("_")[1]))
+            return os.path.join(exp_dir, run, ckpts[-1])
+    raise FileNotFoundError(f"no checkpoints under {exp_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Task registry: name -> (env factory, ppo config, runner settings).
+
+Mirror of the reference registry (task_registry.py:45-67; envs registered
+at envs/__init__.py:50-56): widowGo1 (flagship dual-head task) plus the
+generic locomotion family."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, NamedTuple
+
+from ..envs import legged_config as lc
+from ..rl import ppo as ppo_lib
+
+
+class TaskSpec(NamedTuple):
+    make_env: Callable  # (num_envs, seed) -> env
+    ppo_cfg: ppo_lib.PPOConfig
+    num_steps_per_env: int
+    default_num_envs: int
+    experiment_name: str
+
+
+def _widow_env(num_envs, seed, terrain=None):
+    from ..envs.config import TerrainCfg, WidowGo1Cfg
+    from ..envs.widowgo1 import WidowGo1Env
+    cfg = WidowGo1Cfg()
+    if terrain is not None:
+        cfg = dataclasses.replace(cfg, terrain=TerrainCfg(mesh_type=terrain))
+    return WidowGo1Env(cfg, num_envs=num_envs, seed=seed)
+
+
+def _legged_env(cfg_fn):
+    def make(num_envs, seed):
+        from ..envs.legged_robot import LeggedRobotEnv
+        return LeggedRobotEnv(cfg_fn(), num_envs=num_envs, seed=seed)
+    return make
+
+
+_WIDOW_PPO = ppo_lib.PPOConfig()  # widowGo1_config.py:343-366 leaves
+
+_BASE_PPO = ppo_lib.PPOConfig(
+    # LeggedRobotCfgPPO.algorithm (legged_robot_config.py:214-227)
+    entropy_coef=0.01, learning_rate=5e-4, schedule="adaptive",
+    desired_kl=0.01, num_heads=1, use_dagger=False, use_roa=False,
+    min_policy_std=(0.0,) * 12, mixing_schedule=(0.0, 0.0, 1.0),
+    priv_reg_coef_schedule=(0.0, 0.0, 0.0, 1.0))
+
+
+TASKS: Dict[str, TaskSpec] = {
+    "widowGo1": TaskSpec(_widow_env, _WIDOW_PPO, 40, 5000, "rough_widowGo1"),
+    "widowGo1_flat": TaskSpec(
+        lambda n, s: _widow_env(n, s, terrain="plane"), _WIDOW_PPO, 40, 5000,
+        "flat_widowGo1"),
+    "go1": TaskSpec(_legged_env(lc.go1_rough), _BASE_PPO, 24, 4096, "rough_go1"),
+    "go1_flat": TaskSpec(_legged_env(lc.go1_flat), _BASE_PPO, 24, 4096,
+                         "flat_go1"),
+    "a1": TaskSpec(_legged_env(lc.a1_rough), _BASE_PPO, 24, 4096, "rough_a1"),
+    "a1_flat": TaskSpec(_legged_env(lc.a1_flat), _BASE_PPO, 24, 4096,
+                        "flat_a1"),
+    "anymal_c_rough": TaskSpec(_legged_env(lc.anymal_c_rough), _BASE_PPO, 24,
+                               4096, "rough_anymal_c"),
+    "anymal_c_flat": TaskSpec(_legged_env(lc.anymal_c_flat), _BASE_PPO, 24,
+                              4096, "flat_anymal_c"),
+    "anymal_b": TaskSpec(_legged_env(lc.anymal_b_rough), _BASE_PPO, 24, 4096,
+                         "rough_anymal_b"),
+    "cassie": TaskSpec(_legged_env(lc.cassie_rough), _BASE_PPO, 24, 4096,
+                       "rough_cassie"),
+}
+
+
+def make_env(task: str, num_envs=None, seed: int = 1):
+    spec = TASKS[task]
+    return spec.make_env(num_envs or spec.default_num_envs, seed), spec
+
+
+def make_runner(task: str, num_envs=None, seed: int = 1, log_dir=None,
+                max_iterations=None):
+    from ..rl.runner import OnPolicyRunner
+    env, spec = make_env(task, num_envs, seed)
+    runner = OnPolicyRunner(env, spec.ppo_cfg,
+                            num_steps_per_env=spec.num_steps_per_env,
+                            log_dir=log_dir, seed=seed)
+    return env, runner, spec
