@@ -21,7 +21,7 @@ import numpy as np
 from flax import struct
 
 from ..core import maths, urdf
-from ..sim import dynamics, engine
+from ..sim import dynamics, engine, fused
 from ..terrain import terrain as terr
 from .legged_config import LeggedRobotCfg
 
@@ -142,6 +142,11 @@ class LeggedRobotEnv:
         self.termination_bodies = bodies_matching(
             cfg.asset.terminate_after_contacts_on) \
             if cfg.asset.terminate_after_contacts_on else np.zeros((0,), np.int32)
+
+        # fused SoA physics hot path
+        self.fused_step = fused.make_fused_substep(
+            m, self.sim_params, self.hf, self.ctx,
+            np.asarray(self.feet_geoms))
 
         # measurement grid (base frame)
         gx, gy = np.meshgrid(np.asarray(cfg.terrain.measured_points_x),
@@ -386,20 +391,32 @@ class LeggedRobotEnv:
                            cfg.normalization.clip_actions)
         state = state.replace(actions=actions)
 
-        phys_step = jax.vmap(
-            lambda st, tau, inert, fric: engine.physics_substep(
-                m, self.sim_params, self.hf, inert, fric, st, tau, self.ctx))
         fric = jnp.maximum(state.friction, 0.0)
-        robot = state.robot
-        torques = state.torques
-        con = None
-        for _ in range(cfg.control.decimation):
-            torques = self._compute_torques(state.replace(robot=robot), actions)
-            robot, con = phys_step(robot, torques, state.inert, fric)
-        foot_forces = con.geom_force[:, self.feet_geoms]
-        body_forces = con.body_wrench[:, :, 3:6]
-        state = state.replace(robot=robot, torques=torques,
-                              foot_forces=foot_forces, body_forces=body_forces)
+        last_dof_vel = state.last_dof_vel
+
+        def tau_fn(q_arr, qd_arr):
+            scaled = actions * cfg.control.action_scale
+            dof_pos = q_arr[:, 7:]
+            dof_vel = qd_arr[:, 6:]
+            ct = cfg.control.control_type
+            if ct == "P":
+                tau = (self.p_gains * (scaled + self.default_dof_pos - dof_pos)
+                       - self.d_gains * dof_vel)
+            elif ct == "V":
+                tau = (self.p_gains * (scaled - dof_vel)
+                       - self.d_gains * (dof_vel - last_dof_vel) / cfg.sim_dt)
+            else:
+                tau = scaled
+            return jnp.clip(tau, -self.torque_limits, self.torque_limits)
+
+        out = self.fused_step(state.robot.q, state.robot.qd, tau_fn,
+                              state.inert.mass, state.inert.com,
+                              state.inert.inertia, fric,
+                              cfg.control.decimation)
+        robot = engine.BodyState(q=out.q, qd=out.qd)
+        state = state.replace(robot=robot, torques=out.torques,
+                              foot_forces=out.foot_forces,
+                              body_forces=out.body_forces)
 
         episode_length = state.episode_length + 1
         common_step = state.common_step + 1

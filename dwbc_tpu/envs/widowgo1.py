@@ -36,7 +36,7 @@ from flax import struct
 
 from ..core import maths, urdf
 from ..core.model import RobotModel, free_body_model
-from ..sim import dynamics, engine
+from ..sim import dynamics, engine, fused
 from ..terrain import terrain as terr
 from .config import WidowGo1Cfg
 
@@ -152,6 +152,14 @@ class WidowGo1Env:
         self.ee_offset = jnp.asarray(m.sites["wx250s/ee_gripper_link"].pos)
         self.feet_geoms = jnp.asarray(
             np.concatenate([m.geoms_of(f) for f in urdf.FEET_ORDER]))
+
+        # fused SoA physics (sim/fused.py): the hot path
+        self.fused_step = fused.make_fused_substep(
+            m, self.sim_params, self.hf, self.ctx,
+            np.asarray(self.feet_geoms))
+        self.box_fused_step = fused.make_fused_substep(
+            self.box_model, self.sim_params, self.hf, self.box_ctx,
+            np.zeros((0,), np.int32))
         self.z_invariant_offset = 0.53   # widowGo1.py:597
         self.sphere_error_scale = jnp.asarray(cfg.goal_ee.sphere_error_scale)
         self.orn_error_scale = jnp.asarray(cfg.goal_ee.orn_error_scale)
@@ -508,28 +516,33 @@ class WidowGo1Env:
         delayed = action_history[:, -cfg.env.action_delay - 1]
         state = state.replace(actions=delayed, action_history=action_history)
 
-        # 2. decimation x physics (widowGo1.py:1175-1191)
-        phys_step = jax.vmap(
-            lambda st, tau, inert, fric: engine.physics_substep(
-                m, self.sim_params, self.hf, inert, fric, st, tau, self.ctx))
-        box_step = jax.vmap(
-            lambda st, inert, fric: engine.physics_substep(
-                self.box_model, self.sim_params, self.hf, inert, fric, st,
-                jnp.zeros((0,)), self.box_ctx))
+        # 2. decimation x physics (widowGo1.py:1175-1191), fused SoA path
         fric = jnp.maximum(state.friction, 0.0)
 
-        robot = state.robot
-        box = state.box
-        torques = state.torques
-        con = None
-        for _ in range(cfg.control.decimation):
-            torques = self._compute_torques(state.replace(robot=robot), delayed)
-            robot, con = phys_step(robot, torques, state.inert, fric)
-            box, _ = box_step(box, state.box_inert, fric)
+        def tau_fn(q_arr, qd_arr):
+            scaled = delayed * state.motor_strength * self.action_scale
+            dof_pos = q_arr[:, 7:7 + 18]
+            dof_vel = qd_arr[:, 6:6 + 18]
+            target = scaled + self.default_dof_pos[None, :18]
+            tau = self.p_gains * (target - dof_pos) - self.d_gains * dof_vel
+            tau20 = jnp.concatenate([tau, jnp.zeros((tau.shape[0], 2))], -1)
+            return jnp.clip(tau20, -self.torque_limits, self.torque_limits)
+
+        out = self.fused_step(state.robot.q, state.robot.qd, tau_fn,
+                              state.inert.mass, state.inert.com,
+                              state.inert.inertia, fric,
+                              cfg.control.decimation)
+        robot = engine.BodyState(q=out.q, qd=out.qd)
+        bout = self.box_fused_step(
+            state.box.q, state.box.qd, lambda a, b: jnp.zeros((N, 0)),
+            state.box_inert.mass, state.box_inert.com,
+            state.box_inert.inertia, fric, cfg.control.decimation)
+        box = engine.BodyState(q=bout.q, qd=bout.qd)
+        torques = out.torques
         state = state.replace(robot=robot, box=box, torques=torques)
 
         # foot force sensors: per-foot world contact force (widowGo1.py:1090-1098)
-        foot_forces = con.geom_force[:, self.feet_geoms]  # (N, 4, 3)
+        foot_forces = out.foot_forces  # (N, 4, 3)
         state = state.replace(foot_forces=foot_forces)
 
         # 3. post-physics bookkeeping

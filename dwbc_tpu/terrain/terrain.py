@@ -67,6 +67,32 @@ class Heightfield(NamedTuple):
         h3 = self.height[ix, iy + 1]
         return jnp.minimum(jnp.minimum(h1, h2), h3)
 
+    def sample_with_normal(self, x: jax.Array, y: jax.Array):
+        """(height, normal) from ONE 2x2 corner fetch: bilinear height plus
+        the cell's finite-difference normal. 4 gathers instead of the 20 a
+        separate sample+normal pair costs — the difference between
+        gather-bound and compute-bound contact on TPU."""
+        H, W = self.height.shape
+        gx = (x - self.origin[0]) / self.cell
+        gy = (y - self.origin[1]) / self.cell
+        gx = jnp.clip(gx, 0.0, H - 1.001)
+        gy = jnp.clip(gy, 0.0, W - 1.001)
+        ix = jnp.floor(gx).astype(jnp.int32)
+        iy = jnp.floor(gy).astype(jnp.int32)
+        fx = gx - ix
+        fy = gy - iy
+        h00 = self.height[ix, iy]
+        h10 = self.height[ix + 1, iy]
+        h01 = self.height[ix, iy + 1]
+        h11 = self.height[ix + 1, iy + 1]
+        h = (h00 * (1 - fx) * (1 - fy) + h10 * fx * (1 - fy)
+             + h01 * (1 - fx) * fy + h11 * fx * fy)
+        dhdx = ((h10 + h11) - (h00 + h01)) / (2 * self.cell)
+        dhdy = ((h01 + h11) - (h00 + h10)) / (2 * self.cell)
+        inv = jax.lax.rsqrt(dhdx * dhdx + dhdy * dhdy + 1.0)
+        n = (-dhdx * inv, -dhdy * inv, inv)
+        return h, n
+
     def normal(self, x: jax.Array, y: jax.Array) -> jax.Array:
         """Surface normal from central differences of the heightfield."""
         e = self.cell
