@@ -46,6 +46,7 @@ class LeggedState(struct.PyTreeNode):
     terrain_types: jax.Array     # (N,) int32
     foot_forces: jax.Array       # (N, 4, 3)
     body_forces: jax.Array       # (N, nb, 3) net per-body contact force
+    actuator_hidden: jax.Array   # (layers, 2, N*nj, H) LSTM state (or (0,))
     episode_sums: Dict[str, jax.Array]
     reset_buf: jax.Array
     time_out_buf: jax.Array
@@ -147,6 +148,13 @@ class LeggedRobotEnv:
         self.fused_step = fused.make_fused_substep(
             m, self.sim_params, self.hf, self.ctx,
             np.asarray(self.feet_geoms))
+
+        # LSTM actuator network replacing PD (anymal_c rough,
+        # anymal.py:52-78)
+        self.actuator_params = None
+        if cfg.control.use_actuator_network:
+            from ..models import actuator_net
+            self.actuator_params = actuator_net.load_params()
 
         # measurement grid (base frame)
         gx, gy = np.meshgrid(np.asarray(cfg.terrain.measured_points_x),
@@ -264,6 +272,9 @@ class LeggedRobotEnv:
             terrain_types=types,
             foot_forces=jnp.zeros((N, self.num_feet, 3)),
             body_forces=jnp.zeros((N, m.nb, 3)),
+            actuator_hidden=(jnp.zeros((2, 2, N * m.nj, 8))
+                             if cfg.control.use_actuator_network
+                             else jnp.zeros((0,))),
             episode_sums={k: zeros_n for k in self.reward_names},
             reset_buf=jnp.zeros((N,), bool),
             time_out_buf=jnp.zeros((N,), bool),
@@ -335,7 +346,14 @@ class LeggedRobotEnv:
 
         new_cmd = self._sample_commands(k4, state)
 
+        actuator_hidden = state.actuator_hidden
+        if cfg.control.use_actuator_network:
+            h = actuator_hidden.reshape(2, 2, N, m.nj, 8)
+            h = jnp.where(mask[None, None, :, None, None], 0.0, h)
+            actuator_hidden = h.reshape(2, 2, N * m.nj, 8)
+
         return state.replace(
+            actuator_hidden=actuator_hidden,
             robot=engine.BodyState(
                 q=jnp.where(mask[:, None], q, state.robot.q),
                 qd=jnp.where(mask[:, None], qd, state.robot.qd)),
@@ -394,29 +412,50 @@ class LeggedRobotEnv:
         fric = jnp.maximum(state.friction, 0.0)
         last_dof_vel = state.last_dof_vel
 
-        def tau_fn(q_arr, qd_arr):
-            scaled = actions * cfg.control.action_scale
-            dof_pos = q_arr[:, 7:]
-            dof_vel = qd_arr[:, 6:]
-            ct = cfg.control.control_type
-            if ct == "P":
-                tau = (self.p_gains * (scaled + self.default_dof_pos - dof_pos)
-                       - self.d_gains * dof_vel)
-            elif ct == "V":
-                tau = (self.p_gains * (scaled - dof_vel)
-                       - self.d_gains * (dof_vel - last_dof_vel) / cfg.sim_dt)
-            else:
-                tau = scaled
-            return jnp.clip(tau, -self.torque_limits, self.torque_limits)
+        if cfg.control.use_actuator_network:
+            from ..models import actuator_net
 
-        out = self.fused_step(state.robot.q, state.robot.qd, tau_fn,
-                              state.inert.mass, state.inert.com,
-                              state.inert.inertia, fric,
-                              cfg.control.decimation)
+            def tau_fn(hidden, q_arr, qd_arr):
+                scaled = actions * cfg.control.action_scale
+                pos_err = (scaled + self.default_dof_pos - q_arr[:, 7:])
+                x = jnp.stack([pos_err.reshape(-1),
+                               qd_arr[:, 6:].reshape(-1)], -1)
+                tau_flat, hidden = actuator_net.step(self.actuator_params, x,
+                                                     hidden)
+                tau = tau_flat.reshape(N, m.nj)
+                return hidden, jnp.clip(tau, -self.torque_limits,
+                                        self.torque_limits)
+
+            tau_carry = state.actuator_hidden
+        else:
+            def tau_fn(carry, q_arr, qd_arr):
+                scaled = actions * cfg.control.action_scale
+                dof_pos = q_arr[:, 7:]
+                dof_vel = qd_arr[:, 6:]
+                ct = cfg.control.control_type
+                if ct == "P":
+                    tau = (self.p_gains * (scaled + self.default_dof_pos - dof_pos)
+                           - self.d_gains * dof_vel)
+                elif ct == "V":
+                    tau = (self.p_gains * (scaled - dof_vel)
+                           - self.d_gains * (dof_vel - last_dof_vel) / cfg.sim_dt)
+                else:
+                    tau = scaled
+                return carry, jnp.clip(tau, -self.torque_limits,
+                                       self.torque_limits)
+
+            tau_carry = None
+
+        out, tau_carry_out = self.fused_step(
+            state.robot.q, state.robot.qd, tau_fn,
+            state.inert.mass, state.inert.com, state.inert.inertia, fric,
+            cfg.control.decimation, tau_carry=tau_carry)
         robot = engine.BodyState(q=out.q, qd=out.qd)
         state = state.replace(robot=robot, torques=out.torques,
                               foot_forces=out.foot_forces,
                               body_forces=out.body_forces)
+        if cfg.control.use_actuator_network:
+            state = state.replace(actuator_hidden=tau_carry_out)
 
         episode_length = state.episode_length + 1
         common_step = state.common_step + 1
@@ -462,7 +501,7 @@ class LeggedRobotEnv:
 
         # termination (legged_robot.py:138-143)
         term_force = jnp.linalg.norm(
-            body_forces[:, self.termination_bodies], axis=-1)
+            state.body_forces[:, self.termination_bodies], axis=-1)
         contact_term = (jnp.any(term_force > 1.0, axis=-1)
                         if self.termination_bodies.shape[0] else
                         jnp.zeros((N,), bool))

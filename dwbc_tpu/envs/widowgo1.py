@@ -519,22 +519,23 @@ class WidowGo1Env:
         # 2. decimation x physics (widowGo1.py:1175-1191), fused SoA path
         fric = jnp.maximum(state.friction, 0.0)
 
-        def tau_fn(q_arr, qd_arr):
+        def tau_fn(carry, q_arr, qd_arr):
             scaled = delayed * state.motor_strength * self.action_scale
             dof_pos = q_arr[:, 7:7 + 18]
             dof_vel = qd_arr[:, 6:6 + 18]
             target = scaled + self.default_dof_pos[None, :18]
             tau = self.p_gains * (target - dof_pos) - self.d_gains * dof_vel
             tau20 = jnp.concatenate([tau, jnp.zeros((tau.shape[0], 2))], -1)
-            return jnp.clip(tau20, -self.torque_limits, self.torque_limits)
+            return carry, jnp.clip(tau20, -self.torque_limits,
+                                   self.torque_limits)
 
-        out = self.fused_step(state.robot.q, state.robot.qd, tau_fn,
-                              state.inert.mass, state.inert.com,
-                              state.inert.inertia, fric,
-                              cfg.control.decimation)
+        out, _ = self.fused_step(state.robot.q, state.robot.qd, tau_fn,
+                                 state.inert.mass, state.inert.com,
+                                 state.inert.inertia, fric,
+                                 cfg.control.decimation)
         robot = engine.BodyState(q=out.q, qd=out.qd)
-        bout = self.box_fused_step(
-            state.box.q, state.box.qd, lambda a, b: jnp.zeros((N, 0)),
+        bout, _ = self.box_fused_step(
+            state.box.q, state.box.qd, lambda c, a, b: (c, jnp.zeros((N, 0))),
             state.box_inert.mass, state.box_inert.com,
             state.box_inert.inertia, fric, cfg.control.decimation)
         box = engine.BodyState(q=bout.q, qd=bout.qd)

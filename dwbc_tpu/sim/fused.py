@@ -480,10 +480,12 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
 
     def step(q: jax.Array, qd: jax.Array, tau_fn, mass: jax.Array,
              com: jax.Array, inertia: jax.Array, friction: jax.Array,
-             n_steps: int) -> FusedOut:
-        """q: (N, nq), qd: (N, nv); tau_fn(q_arr, qd_arr) -> (N, nj);
-        mass (N, nb), com (N, nb, 3), inertia (N, nb, 3, 3),
-        friction (N,)."""
+             n_steps: int, tau_carry=None) -> FusedOut:
+        """q: (N, nq), qd: (N, nv); tau_fn(carry, q_arr, qd_arr) ->
+        (carry, (N, nj)) — stateful controllers (e.g. the LSTM actuator
+        net, reference anymal.py:71-78) thread their state through the
+        substep scan via `carry`. mass (N, nb), com (N, nb, 3),
+        inertia (N, nb, 3, 3), friction (N,)."""
         # decompose to components
         qc = dict(
             pos=tuple(q[:, k] for k in range(3)),
@@ -500,22 +502,24 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
         substep.friction = friction
 
         def scan_body(carry, _):
-            qc, qdc = carry
+            qc, qdc, tc = carry
             q_arr = jnp.stack(list(qc["pos"]) + list(qc["quat"])
                               + qc["joints"], axis=-1)
             qd_arr = jnp.stack(list(qdc["lin"]) + list(qdc["ang"])
                                + qdc["joints"], axis=-1)
-            tau_arr = tau_fn(q_arr, qd_arr)
+            tc, tau_arr = tau_fn(tc, q_arr, qd_arr)
             tau_c = [tau_arr[:, j] for j in range(nj)]
             qc, qdc, gf = substep(qc, qdc, tau_c, mass_c, com_c, inert_c)
-            return (qc, qdc), (gf, tau_arr)
+            return (qc, qdc, tc), (gf, tau_arr)
 
+        tc0 = tau_carry if tau_carry is not None else jnp.zeros(())
         if n_steps > 1:
-            (qc, qdc), (gf_all, tau_all) = jax.lax.scan(
-                scan_body, (qc, qdc), None, length=n_steps)
+            (qc, qdc, tc_out), (gf_all, tau_all) = jax.lax.scan(
+                scan_body, (qc, qdc, tc0), None, length=n_steps)
             gf_last, tau_last = gf_all[-1], tau_all[-1]
         else:
-            (qc, qdc), (gf_last, tau_last) = scan_body((qc, qdc), None)
+            (qc, qdc, tc_out), (gf_last, tau_last) = scan_body(
+                (qc, qdc, tc0), None)
 
         q_out = jnp.stack(list(qc["pos"]) + list(qc["quat"]) + qc["joints"],
                           axis=-1)
@@ -528,6 +532,6 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
             E_np[b, g] = 1.0
         body_forces = jnp.einsum("bg,ngc->nbc", jnp.asarray(E_np), gf_last)
         return FusedOut(q=q_out, qd=qd_out, foot_forces=foot,
-                        body_forces=body_forces, torques=tau_last)
+                        body_forces=body_forces, torques=tau_last), tc_out
 
     return step
