@@ -28,6 +28,9 @@ def main():
     iters = int(os.environ.get("DWBC_BENCH_ITERS", 3))
 
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/dwbc_jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
     from dwbc_tpu.envs.config import WidowGo1Cfg

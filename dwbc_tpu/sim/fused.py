@@ -214,12 +214,58 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
     dt = params.dt
     cp: ContactParams = params.contact
 
-    def substep(q, qd, tau, mass, com, inertia):
+    def geom_positions(q):
+        """Positions-only FK -> world sphere centers (3 x (ng, N)). Used to
+        sample the terrain once per policy step (see step())."""
+        R = [None] * nb
+        p = [None] * nb
+        R[0] = quat_to_m(q["quat"])
+        p[0] = q["pos"]
+        for i in range(1, nb):
+            qi = q["joints"][i - 1]
+            if jtype[i] == 0:
+                Rj = mmul(tree_rot[i], axis_angle_m(axis[i], qi))
+                jp_i = tree_pos[i]
+            else:
+                Rj = tree_rot[i]
+                jp_i = vadd(tree_pos[i],
+                            mvec(tree_rot[i], vscale(axis[i], qi)))
+            pa = parent[i]
+            R[i] = mmul(R[pa], Rj)
+            p[i] = vadd(mvec(R[pa], jp_i), p[pa])
+        gb_idx = np.asarray(geom_body)
+
+        def stack_bodies(get):
+            return jnp.stack([get(b) for b in range(nb)], 0)[gb_idx]
+
+        Rg = [[stack_bodies(lambda b, i=i, j=j: R[b][i][j] + 0.0 * p[0][0])
+               for j in range(3)] for i in range(3)]
+        pg = [stack_bodies(lambda b, k=k: p[b][k]) for k in range(3)]
+        ng = len(geom_body)
+        off = [jnp.asarray(np.asarray([geom_pos[g][k] for g in range(ng)],
+                                      np.float32))[:, None] for k in range(3)]
+        return vadd(pg, mvec(Rg, off))
+
+    def sample_terrain(q):
+        """(h, normal) per geom from the heightfield — the ONLY gathers in
+        the whole pipeline, amortized over all substeps of a policy step
+        (the terrain under a geom moves <2 mm within 20 ms)."""
+        gp = geom_positions(q)
+        if hasattr(hf, "sample_with_normal"):
+            h, nrm = hf.sample_with_normal(gp[0], gp[1])
+        else:
+            h = hf.sample(gp[0], gp[1])
+            n_arr = hf.normal(gp[0], gp[1])
+            nrm = (n_arr[..., 0], n_arr[..., 1], n_arr[..., 2])
+        return h, nrm
+
+    def substep(q, qd, tau, mass, com, inertia, terrain_cache):
         """All args component-ized:
         q: dict(pos Vec3, quat 4-tuple, joints list[nj]),
         qd: dict(lin Vec3, ang Vec3, joints list[nj]),
         tau: list[nj] of (N,),
         mass: list[nb] of (N,), com: list[nb] Vec3, inertia: list[nb] 3x3.
+        terrain_cache: (h (ng, N), normal 3x(ng, N)) from sample_terrain.
         Returns updated (q, qd) + contact info."""
 
         # ---------------- FK ----------------
@@ -289,12 +335,7 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
         u_w = mvec(Rg, vg_lin)
         gv = vadd(u_w, vcross(w_w, r_w))
 
-        if hasattr(hf, "sample_with_normal"):
-            h, nrm = hf.sample_with_normal(gp[0], gp[1])
-        else:
-            h = hf.sample(gp[0], gp[1])
-            n_arr = hf.normal(gp[0], gp[1])      # (ng, N, 3)
-            nrm = (n_arr[..., 0], n_arr[..., 1], n_arr[..., 2])
+        h, nrm = terrain_cache
         phi = (gp[2] - h) * nrm[2] - radius_c
         active = phi < 0.0
 
@@ -500,6 +541,7 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
         inert_c = [tuple(tuple(inertia[:, b, i, j] for j in range(3))
                          for i in range(3)) for b in range(nb)]
         substep.friction = friction
+        terrain_cache = sample_terrain(qc)
 
         def scan_body(carry, _):
             qc, qdc, tc = carry
@@ -509,7 +551,8 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
                                + qdc["joints"], axis=-1)
             tc, tau_arr = tau_fn(tc, q_arr, qd_arr)
             tau_c = [tau_arr[:, j] for j in range(nj)]
-            qc, qdc, gf = substep(qc, qdc, tau_c, mass_c, com_c, inert_c)
+            qc, qdc, gf = substep(qc, qdc, tau_c, mass_c, com_c, inert_c,
+                                  terrain_cache)
             return (qc, qdc, tc), (gf, tau_arr)
 
         tc0 = tau_carry if tau_carry is not None else jnp.zeros(())

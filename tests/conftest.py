@@ -13,3 +13,7 @@ import jax
 # the sandbox sitecustomize pins JAX_PLATFORMS=axon (TPU tunnel); tests must
 # run on CPU, and the env var is stomped, so use the in-process config.
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the fused-physics step is a large graph
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/dwbc_jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
