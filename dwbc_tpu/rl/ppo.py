@@ -214,8 +214,8 @@ def update(
     mb_size = B // cfg.num_mini_batches
 
     flat = jax.tree.map(lambda x: x.reshape((B,) + x.shape[2:]), traj)
-    f_returns = returns.reshape(B, 2)
-    f_adv = advantages.reshape(B, 2)
+    f_returns = returns.reshape(B, -1)
+    f_adv = advantages.reshape(B, -1)
 
     perm = jax.random.permutation(key, B)
     mix = mixing_ratio(cfg, state.counter)

@@ -178,8 +178,19 @@ def perlin_terrain(cfg: PerlinTerrainCfg) -> Heightfield:
     rng = np.random.default_rng(cfg.seed)
     x_size = int(cfg.horizontal_scale * cfg.tot_cols)
     y_size = int(cfg.horizontal_scale * cfg.tot_rows)
-    h = fractal_noise(rng, x_size, y_size, cfg.tot_cols, cfg.tot_rows,
-                      z_scale=cfg.z_scale)
+    # native C++ generator when built (dwbc_tpu/native); numpy fallback.
+    # Same algorithm, different RNG stream — both deterministic per seed.
+    from .. import native
+
+    frequency = 10
+    h = native.fractal_noise(cfg.tot_cols, cfg.tot_rows,
+                             frequency * x_size, frequency * y_size,
+                             cfg.z_scale, seed=cfg.seed)
+    if h is None:
+        h = fractal_noise(rng, x_size, y_size, cfg.tot_cols, cfg.tot_rows,
+                          z_scale=cfg.z_scale, frequency=frequency)
+    else:
+        h = h.astype(np.float64)
     # wall fencing trick (reference terrain.py:49)
     h[cfg.tot_cols // 2 - 100:, :] += cfg.wall_height
     # center the mesh like the reference trimesh transform
@@ -386,3 +397,14 @@ def grid_terrain(cfg: GridTerrainCfg) -> GridTerrain:
         origin=(-cfg.border_size, -cfg.border_size),
     )
     return GridTerrain(hf=hf, env_origins=origins, length=cfg.terrain_length)
+
+
+def heightfield_to_trimesh(hf: Heightfield):
+    """(vertices, triangles) export of a heightfield — parity with the
+    external isaacgym.terrain_utils.convert_heightfield_to_trimesh the
+    reference consumes (terrain.py:57-60). Used by the offline visualizer
+    and deployment-mesh export; native C++ when built."""
+    from .. import native
+
+    return native.heightfield_to_trimesh(np.asarray(hf.height), hf.cell,
+                                         hf.origin)
