@@ -148,6 +148,28 @@ class LeggedRobotEnv:
         self.fused_step = fused.make_fused_substep(
             m, self.sim_params, self.hf, self.ctx,
             np.asarray(self.feet_geoms))
+        # pallas whole-decimation kernel (ops/pallas_substep.py): PD-only —
+        # the V/T modes and the LSTM actuator net stay on the XLA path
+        self.pallas_step = None
+        import os as _os
+        # opt-in (DWBC_PALLAS=1) until flipped to default after burn-in
+        use_pallas = (jax.default_backend() == "tpu"
+                      and cfg.control.control_type == "P"
+                      and not cfg.control.use_actuator_network
+                      and _os.environ.get("DWBC_PALLAS") == "1")
+        if use_pallas:
+            from ..ops import pallas_substep as ps
+            self._ps = ps
+            self.pallas_step = ps.make_pallas_step(
+                m, self.sim_params, self.hf, self.ctx,
+                np.asarray(self.feet_geoms),
+                ps.PDParams(
+                    p_gains=tuple(np.asarray(self.p_gains)),
+                    d_gains=tuple(np.asarray(self.d_gains)),
+                    action_scale=(float(cfg.control.action_scale),) * m.nj,
+                    default_pos=tuple(np.asarray(self.default_dof_pos)),
+                    use_motor_strength=False, n_act=m.nj),
+                n_substeps=cfg.control.decimation)
 
         # LSTM actuator network replacing PD (anymal_c rough,
         # anymal.py:52-78)
@@ -446,10 +468,19 @@ class LeggedRobotEnv:
 
             tau_carry = None
 
-        out, tau_carry_out = self.fused_step(
-            state.robot.q, state.robot.qd, tau_fn,
-            state.inert.mass, state.inert.com, state.inert.inertia, fric,
-            cfg.control.decimation, tau_carry=tau_carry)
+        if self.pallas_step is not None:
+            th, tn = self._ps.sample_terrain_cache(m, self.hf, state.robot.q)
+            q_n, qd_n, foot_k, tau_k, bodyf_k = self.pallas_step(
+                state.robot.q, state.robot.qd, actions, None,
+                state.inert.mass, state.inert.com, fric, th, tn)
+            out = fused.FusedOut(q=q_n, qd=qd_n, foot_forces=foot_k,
+                                 body_forces=bodyf_k, torques=tau_k)
+            tau_carry_out = tau_carry
+        else:
+            out, tau_carry_out = self.fused_step(
+                state.robot.q, state.robot.qd, tau_fn,
+                state.inert.mass, state.inert.com, state.inert.inertia, fric,
+                cfg.control.decimation, tau_carry=tau_carry)
         robot = engine.BodyState(q=out.q, qd=out.qd)
         state = state.replace(robot=robot, torques=out.torques,
                               foot_forces=out.foot_forces,
@@ -506,12 +537,20 @@ class LeggedRobotEnv:
                         if self.termination_bodies.shape[0] else
                         jnp.zeros((N,), bool))
         time_out = episode_length > self.max_episode_length
-        reset_buf = contact_term | time_out
+        # blow-up guard: see WidowGo1Env.step — NaN states never satisfy
+        # the termination comparisons, so they must be caught explicitly
+        bad = (~jnp.all(jnp.isfinite(robot.q), -1)
+               | ~jnp.all(jnp.isfinite(robot.qd), -1)
+               | (jnp.max(jnp.abs(robot.qd[:, :3]), -1) > 15.0))
+        reset_buf = contact_term | time_out | bad
 
         # rewards
         rew, ep_sums, new_air, new_contacts = self._rewards(
             state, base_lin_vel, base_ang_vel, projected_gravity, measured,
             reset_buf, time_out)
+        rew = jnp.where(jnp.isfinite(rew) & ~bad, rew, 0.0)
+        ep_sums = {k: jnp.where(jnp.isfinite(v), v, 0.0)
+                   for k, v in ep_sums.items()}
         state = state.replace(episode_sums=ep_sums, feet_air_time=new_air,
                               last_contacts=new_contacts)
 
@@ -648,7 +687,12 @@ class LeggedRobotEnv:
         return rew, ep, new_air, contact
 
     def reset(self, key):
+        """Env-batch build + initial observation (no physics step — see
+        WidowGo1Env.reset for the compile-time rationale)."""
         state = self.init_state(key)
-        state, out = self.step(state, jnp.zeros((self.num_envs,
-                                                 self.model.nj)))
-        return state, out.obs
+        if self.cfg.terrain.measure_heights:
+            measured = self._measured_heights(state.robot.q)
+        else:
+            measured = jnp.zeros((self.num_envs, 1))
+        obs = self._observations(state, measured, state.key)
+        return state, obs

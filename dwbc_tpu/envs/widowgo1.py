@@ -157,6 +157,28 @@ class WidowGo1Env:
         self.fused_step = fused.make_fused_substep(
             m, self.sim_params, self.hf, self.ctx,
             np.asarray(self.feet_geoms))
+        # pallas kernel path: the whole decimation loop in ONE kernel
+        # (ops/pallas_substep.py); PD-with-static-gains only
+        self.pallas_step = None
+        use_pallas = (jax.default_backend() == "tpu"
+                      and not cfg.control.adaptive_arm_gains
+                      and __import__("os").environ.get("DWBC_PALLAS") == "1")
+        import os as _os
+        if _os.environ.get("DWBC_PALLAS") == "0":
+            use_pallas = False
+        if use_pallas:
+            from ..ops import pallas_substep as ps
+            self._ps = ps
+            self.pallas_step = ps.make_pallas_step(
+                m, self.sim_params, self.hf, self.ctx,
+                np.asarray(self.feet_geoms),
+                ps.PDParams(
+                    p_gains=tuple(np.asarray(self.p_gains)),
+                    d_gains=tuple(np.asarray(self.d_gains)),
+                    action_scale=tuple(np.asarray(self.action_scale)),
+                    default_pos=tuple(np.asarray(self.default_dof_pos[:18])),
+                    use_motor_strength=True, n_act=18),
+                n_substeps=cfg.control.decimation)
         self.box_fused_step = fused.make_fused_substep(
             self.box_model, self.sim_params, self.hf, self.box_ctx,
             np.zeros((0,), np.int32))
@@ -290,6 +312,12 @@ class WidowGo1Env:
         # env origins on the perlin strip (widowGo1.py:207-228)
         half_col = cfg.terrain.tot_cols * cfg.terrain.horizontal_scale / 2
         half_row = cfg.terrain.tot_rows * cfg.terrain.horizontal_scale / 2
+        # x coordinate where the +1e5 fence wall begins (terrain.py:49);
+        # spawns (origin + reset perturb) must stay clear of the bilinear
+        # skirt of the wall or an env teleports to z~5e4 on reset
+        self._wall_x = ((cfg.terrain.tot_cols // 2 - 100)
+                        * cfg.terrain.horizontal_scale - half_col - 0.5
+                        if cfg.terrain.mesh_type == "perlin" else jnp.inf)
         if cfg.terrain.mesh_type == "perlin":
             x = jax.random.uniform(keys[0], (N,), minval=-2.5 * half_col / 5,
                                    maxval=-2.0 * half_col / 5)
@@ -381,10 +409,11 @@ class WidowGo1Env:
             episode_length=jnp.zeros((N,), jnp.int32),
             common_step=jnp.zeros((), jnp.int32),
             key=jax.random.fold_in(key, 1),
-            actions=jnp.zeros((N, 18)),
-            last_actions=jnp.zeros((N, 18)),
+            actions=jnp.zeros((N, cfg.env.num_actions)),
+            last_actions=jnp.zeros((N, cfg.env.num_actions)),
             last_dof_vel=jnp.zeros((N, 20)),
-            action_history=jnp.zeros((N, cfg.env.action_delay + 2, 18)),
+            action_history=jnp.zeros((N, cfg.env.action_delay + 2,
+                                      cfg.env.num_actions)),
             obs_history=jnp.zeros((N, cfg.env.history_len, self.num_proprio)),
             torques=jnp.zeros((N, 20)),
             commands=jnp.zeros((N, 3)),
@@ -436,6 +465,8 @@ class WidowGo1Env:
             k2, (N, 2), minval=-cfg.terrain.origin_perturb_range,
             maxval=cfg.terrain.origin_perturb_range)
         base_xy = state.env_origins[:, :2] + xy_pert
+        base_xy = base_xy.at[:, 0].set(
+            jnp.minimum(base_xy[:, 0], self._wall_x))
         ground = self.hf.sample(base_xy[:, 0], base_xy[:, 1])
         base_z = ground + cfg.init_state.pos[2]
         q = jnp.zeros((N, m.nq)).at[:, 0:2].set(base_xy).at[:, 2].set(base_z)
@@ -487,14 +518,32 @@ class WidowGo1Env:
     # ------------------------------------------------------------------
     # torque model (widowGo1.py:1262-1295)
 
-    def _compute_torques(self, state: EnvState, actions):
-        scaled = actions * state.motor_strength * self.action_scale
-        dof_pos = state.robot.q[:, 7:7 + 18]
-        dof_vel = state.robot.qd[:, 6:6 + 18]
+    def _pd_torques(self, actions, dof_pos, dof_vel, motor_strength):
+        """PD torques on the 18 actuated dofs + zero gripper torques
+        (widowGo1.py:1262-1295). With adaptive_arm_gains the trailing 6
+        action dims are per-env arm kp deltas, kd = 2*sqrt(kp)
+        (widowGo1.py:1283-1288)."""
+        scaled = actions[:, :18] * motor_strength * self.action_scale
         target = scaled + self.default_dof_pos[None, :18]
-        tau = self.p_gains * (target - dof_pos) - self.d_gains * dof_vel
-        tau20 = jnp.concatenate([tau, jnp.zeros((tau.shape[0], 2))], -1)
+        if self.cfg.control.adaptive_arm_gains:
+            delta_p = actions[:, 18:24]
+            arm_p = jnp.maximum(self.p_gains[12:] + delta_p, 0.0)
+            p_g = jnp.concatenate(
+                [jnp.broadcast_to(self.p_gains[:12], delta_p.shape[:-1] + (12,)),
+                 arm_p], -1)
+            d_g = jnp.concatenate(
+                [jnp.broadcast_to(self.d_gains[:12], delta_p.shape[:-1] + (12,)),
+                 2.0 * jnp.sqrt(arm_p)], -1)
+        else:
+            p_g, d_g = self.p_gains, self.d_gains
+        tau = p_g * (target - dof_pos) - d_g * dof_vel
+        tau20 = jnp.concatenate([tau, jnp.zeros(tau.shape[:-1] + (2,))], -1)
         return jnp.clip(tau20, -self.torque_limits, self.torque_limits)
+
+    def _compute_torques(self, state: EnvState, actions):
+        return self._pd_torques(actions, state.robot.q[:, 7:7 + 18],
+                                state.robot.qd[:, 6:6 + 18],
+                                state.motor_strength)
 
     # ------------------------------------------------------------------
     # the step
@@ -516,23 +565,35 @@ class WidowGo1Env:
         delayed = action_history[:, -cfg.env.action_delay - 1]
         state = state.replace(actions=delayed, action_history=action_history)
 
+        # torque-supervision extras at substep 0, pre-physics
+        # (widowGo1.py:1178-1182)
+        extras = {}
+        if cfg.control.torque_supervision:
+            extras["target_arm_torques"] = self._osc_target(state)
+            extras["current_arm_dof_pos"] = state.robot.q[:, 7 + 12:7 + 18]
+            extras["current_arm_dof_vel"] = state.robot.qd[:, 6 + 12:6 + 18]
+
         # 2. decimation x physics (widowGo1.py:1175-1191), fused SoA path
         fric = jnp.maximum(state.friction, 0.0)
 
-        def tau_fn(carry, q_arr, qd_arr):
-            scaled = delayed * state.motor_strength * self.action_scale
-            dof_pos = q_arr[:, 7:7 + 18]
-            dof_vel = qd_arr[:, 6:6 + 18]
-            target = scaled + self.default_dof_pos[None, :18]
-            tau = self.p_gains * (target - dof_pos) - self.d_gains * dof_vel
-            tau20 = jnp.concatenate([tau, jnp.zeros((tau.shape[0], 2))], -1)
-            return carry, jnp.clip(tau20, -self.torque_limits,
-                                   self.torque_limits)
+        if self.pallas_step is not None:
+            th, tn = self._ps.sample_terrain_cache(m, self.hf, state.robot.q)
+            q_n, qd_n, foot_k, tau_k, _ = self.pallas_step(
+                state.robot.q, state.robot.qd, delayed[:, :18],
+                state.motor_strength, state.inert.mass, state.inert.com,
+                fric, th, tn)
+            out = fused.FusedOut(q=q_n, qd=qd_n, foot_forces=foot_k,
+                                 body_forces=None, torques=tau_k)
+        else:
+            def tau_fn(carry, q_arr, qd_arr):
+                return carry, self._pd_torques(
+                    delayed, q_arr[:, 7:7 + 18], qd_arr[:, 6:6 + 18],
+                    state.motor_strength)
 
-        out, _ = self.fused_step(state.robot.q, state.robot.qd, tau_fn,
-                                 state.inert.mass, state.inert.com,
-                                 state.inert.inertia, fric,
-                                 cfg.control.decimation)
+            out, _ = self.fused_step(state.robot.q, state.robot.qd, tau_fn,
+                                     state.inert.mass, state.inert.com,
+                                     state.inert.inertia, fric,
+                                     cfg.control.decimation)
         robot = engine.BodyState(q=out.q, qd=out.qd)
         bout, _ = self.box_fused_step(
             state.box.q, state.box.qd, lambda c, a, b: (c, jnp.zeros((N, 0))),
@@ -607,12 +668,27 @@ class WidowGo1Env:
         z_term = robot.q[:, 2] - self.hf.sample(robot.q[:, 0], robot.q[:, 1]) \
             < cfg.termination.z_threshold
         time_out = episode_length > self.max_episode_length
-        reset_buf = r_term | p_term | z_term | time_out
+        # blow-up guard (no reference analogue — PhysX clamps internally):
+        # non-finite state or a ballistic base never satisfies the NaN-
+        # poisoned comparisons above, so it must terminate explicitly or
+        # it contaminates obs/rewards for the rest of the run
+        bad = (~jnp.all(jnp.isfinite(robot.q), -1)
+               | ~jnp.all(jnp.isfinite(robot.qd), -1)
+               | (jnp.max(jnp.abs(robot.qd[:, :3]), -1) > 15.0))
+        reset_buf = r_term | p_term | z_term | time_out | bad
 
         # 9. rewards (dual; NOT dt-scaled; /100 — widowGo1.py:170-205)
         rew, arm_rew, ep_sums, met_sums = self._rewards(
             state, base_lin_vel, base_ang_vel, base_yaw_quat, ee_pos, ee_orn,
             curr)
+        # exploded envs produce garbage rewards on their final step; zero
+        # them so episode stats and the learner never see non-finite values
+        rew = jnp.where(jnp.isfinite(rew) & ~bad, rew, 0.0)
+        arm_rew = jnp.where(jnp.isfinite(arm_rew) & ~bad, arm_rew, 0.0)
+        ep_sums = {k: jnp.where(jnp.isfinite(v), v, 0.0)
+                   for k, v in ep_sums.items()}
+        met_sums = {k: jnp.where(jnp.isfinite(v), v, 0.0)
+                    for k, v in met_sums.items()}
         state = state.replace(episode_sums=ep_sums, metric_sums=met_sums)
 
         # 10. episode stats BEFORE reset clears sums
@@ -637,24 +713,24 @@ class WidowGo1Env:
                               last_actions=state.actions,
                               last_dof_vel=state.robot.qd[:, 6:])
 
-        extras = {}
-        if cfg.control.torque_supervision:
-            extras["target_arm_torques"] = self._osc_target(state)
-            extras["current_arm_dof_pos"] = state.robot.q[:, 7 + 12:7 + 18]
-            extras["current_arm_dof_vel"] = state.robot.qd[:, 6 + 12:6 + 18]
-
         return state, StepOut(
             obs=obs, rew=rew, arm_rew=arm_rew, reset=reset_buf,
             time_outs=time_out, episode_stats=stats, num_resets=nres,
             extras=extras)
 
     def reset(self, key) -> Tuple[EnvState, jax.Array]:
-        """Full env-batch build + the reference's zero-action first step
-        (base_task.py:127-131) to produce the initial observation."""
+        """Full env-batch build + initial observation.
+
+        Deliberate divergence from the reference's zero-action first step
+        (base_task.py:127-131): the first obs is assembled directly from
+        the reset state (foot sensors read zero for one frame). Running
+        the physics step here would compile the entire fused-step graph a
+        second time (the rollout scan has its own inlined copy) — minutes
+        of XLA time for one observation frame."""
         state = self.init_state(key)
-        state, out = self.step(state, jnp.zeros((self.num_envs, 18)),
-                               jnp.zeros(()))
-        return state, out.obs
+        obs, obs_history = self._observations(state)
+        state = state.replace(obs_history=obs_history)
+        return state, obs
 
     # ------------------------------------------------------------------
 

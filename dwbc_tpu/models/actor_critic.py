@@ -119,8 +119,17 @@ class Actor(nn.Module):
 
     def __call__(self, obs: jax.Array, hist_encoding: bool = False) -> jax.Array:
         prop = obs[..., : self.num_prop]
-        latent = (self.infer_hist_latent(obs) if hist_encoding
-                  else self.infer_priv_latent(obs))
+        if isinstance(hist_encoding, (bool, int)):
+            # static switch: only the chosen encoder is traced
+            latent = (self.infer_hist_latent(obs) if hist_encoding
+                      else self.infer_priv_latent(obs))
+        else:
+            # traced switch: one compiled program serves both modes (the
+            # runner flips per-iteration for the DAgger phase; both
+            # encoders are tiny next to the physics graph, and a single
+            # compile of the fused rollout replaces two)
+            latent = jnp.where(hist_encoding, self.infer_hist_latent(obs),
+                               self.infer_priv_latent(obs))
         x = jnp.concatenate([prop, latent], -1)
         for l in self.backbone_layers:
             x = self._act(l(x))

@@ -269,18 +269,21 @@ def update(
                    arm_torques_loss=jnp.zeros(()))
 
         if cfg.torque_supervision and arm_default is not None:
-            p_g, d_g, def_pos = arm_default
+            # analytic PD forward model of the env's arm torque path
+            # (ppo.py:304-324 arm_fk_{fixed,adaptive}_gains)
+            p_g, d_g, def_pos, a_scale = arm_default
             act_mean = model.apply(params, obs, False,
                                    method="act_mean")
             if cfg.adaptive_arm_gains:
                 target_pos = act_mean[:, 12:-6]
                 delta_p = act_mean[:, -6:]
-                pg = p_g + delta_p
+                pg = jnp.maximum(p_g + delta_p, 0.0)
                 dg = 2.0 * jnp.sqrt(pg)
             else:
                 target_pos = act_mean[:, -6:]
                 pg, dg = p_g, d_g
-            arm_tau = pg * (target_pos + def_pos - mb["arm_pos"]) - dg * mb["arm_vel"]
+            arm_tau = (pg * (target_pos * a_scale + def_pos - mb["arm_pos"])
+                       - dg * mb["arm_vel"])
             ts_loss = jnp.square(arm_tau - mb["arm_tau"]).mean()
             loss = loss + ts_loss * ts_weight
             aux["arm_torques_loss"] = ts_loss

@@ -46,6 +46,7 @@ class Rollout:
                 jnp.asarray(env.p_gains[12:18]),
                 jnp.asarray(env.d_gains[12:18]),
                 jnp.asarray(env.default_dof_pos[12:18]),
+                jnp.asarray(env.action_scale[12:18]),
             )
         else:
             self.arm_default = None
@@ -54,20 +55,22 @@ class Rollout:
         self.has_counter = "counter" in inspect.signature(
             type(env).step).parameters
 
-        self._collect = {}
+        self._collect_jit = jax.jit(self._collect_impl)
         self._learn = jax.jit(functools.partial(self._learn_impl, False))
         self._learn_dagger = jax.jit(functools.partial(self._learn_impl, True))
 
     # -- rollout ------------------------------------------------------
 
-    def collect(self, params, env_state, obs, counter, key, hist_encoding: bool):
-        fn = self._collect.get(hist_encoding)
-        if fn is None:
-            fn = jax.jit(functools.partial(self._collect_impl, hist_encoding))
-            self._collect[hist_encoding] = fn
-        return fn(params, env_state, obs, counter, key)
+    def collect(self, params, env_state, obs, counter, key, hist_encoding):
+        # hist_encoding is a TRACED bool (latent select inside the actor):
+        # one compiled rollout serves both the PPO and DAgger phases —
+        # the fused-physics scan is by far the biggest graph in the
+        # program and would otherwise compile twice.
+        return self._collect_jit(params, env_state, obs, counter, key,
+                                 jnp.asarray(hist_encoding))
 
-    def _collect_impl(self, hist_encoding, params, env_state, obs, counter, key):
+    def _collect_impl(self, params, env_state, obs, counter, key,
+                      hist_encoding):
         """Scan num_steps of (act -> env.step), accumulating Transitions and
         episode diagnostics."""
         env = self.env
@@ -158,22 +161,62 @@ class Rollout:
         return fn(ppo_state, traj, last_obs, key)
 
 
+def _make_writers(log_dir: str):
+    """Optional metric sinks matching the reference's wandb + TensorBoard
+    pair (on_policy_runner.py:36, :43, :106, :208-231). Both are gated on
+    availability/config so headless TPU hosts run without them; the
+    always-on sink is metrics.jsonl."""
+    writers = []
+    try:  # TensorBoard via torch (baked in); absent in minimal images
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb = SummaryWriter(log_dir=log_dir, flush_secs=10)
+        writers.append(lambda it, d: [tb.add_scalar(k, v, it)
+                                      for k, v in d.items()
+                                      if isinstance(v, (int, float))])
+    except Exception:
+        pass
+    if os.environ.get("WANDB_PROJECT"):
+        try:  # opt-in wandb (reference train.py:42-47)
+            import wandb
+
+            if wandb.run is None:
+                wandb.init(project=os.environ["WANDB_PROJECT"],
+                           dir=log_dir, config={})
+            writers.append(lambda it, d: wandb.log(d, step=it))
+        except Exception:
+            pass
+    return writers
+
+
 class OnPolicyRunner:
     """Host-side training driver: logging, checkpoints, iteration loop."""
 
     def __init__(self, env, cfg: ppo_lib.PPOConfig = ppo_lib.PPOConfig(),
                  num_steps_per_env: int = 40, log_dir: Optional[str] = None,
-                 seed: int = 1, save_interval: int = 500, model=None):
+                 seed: int = 1, save_interval: int = 500, model=None,
+                 mesh=None):
+        from ..parallel import distributed as dist
+
         self.env = env
         self.cfg = cfg
+        self.is_main = dist.is_main()
+        # checkpoint dir lives on every host (orbax multihost saves are
+        # collective); metric sinks open on host 0 only (see below)
         self.log_dir = log_dir
         self.save_interval = save_interval
         if model is not None:
             self.model = model
         elif cfg.num_heads == 2:
+            adaptive = bool(getattr(env.cfg.control, "adaptive_arm_gains",
+                                    False))
+            init_std = tuple([0.8, 1.0, 1.0] * 4 + [1.0] * 6)
+            if adaptive:
+                init_std = init_std + (1.0,) * 6
             self.model = ac_lib.ActorCritic(
                 num_prop=env.num_proprio, num_priv=env.num_priv,
-                num_hist=env.cfg.env.history_len)
+                num_hist=env.cfg.env.history_len,
+                adaptive_arm_gains=adaptive, init_std=init_std)
         else:
             from ..models.mlp_actor_critic import MlpActorCritic
             self.model = MlpActorCritic(num_obs=env.num_obs,
@@ -185,14 +228,36 @@ class OnPolicyRunner:
         self.ppo_state = ppo_lib.init_state(cfg, params)
         self.rollout = Rollout(env, self.model, cfg, num_steps_per_env)
         self.env_state, self.obs = env.reset(k_env)
+        # init_at_random_ep_len=True (reference train.py:51,
+        # on_policy_runner.py:102-104): desynchronize initial episode
+        # clocks so resets/timeouts spread over the rollout
+        self.env_state = self.env_state.replace(
+            episode_length=jax.random.randint(
+                jax.random.fold_in(k_env, 7), (env.num_envs,), 0,
+                int(env.max_episode_length), dtype=jnp.int32))
+        # SPMD: shard the env batch over ('data',), replicate params
+        # (parallel/mesh.py; XLA derives the psum reductions — SURVEY §2.5)
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import mesh as mesh_lib
+
+            self.env_state = mesh_lib.shard_env_state(self.env_state, mesh,
+                                                      env.num_envs)
+            self.obs = jax.device_put(
+                self.obs, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec("data")))
+            self.ppo_state = mesh_lib.replicate(self.ppo_state, mesh)
         self.it = 0
         self.tot_timesteps = 0
         self.tot_time = 0.0
-        if log_dir:
-            os.makedirs(log_dir, exist_ok=True)
-            self._log_f = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        if self.log_dir and self.is_main:
+            os.makedirs(self.log_dir, exist_ok=True)
+            self._log_f = open(os.path.join(self.log_dir, "metrics.jsonl"),
+                               "a")
+            self._writers = _make_writers(self.log_dir)
         else:
             self._log_f = None
+            self._writers = []
 
     def learn(self, num_iterations: int, log_every: int = 10):
         env = self.env
@@ -254,10 +319,13 @@ class OnPolicyRunner:
                 f" | arm {d['Train/mean_arm_reward']:.3f}"
                 f" | len {d['Train/mean_episode_length']:.1f}"
                 f" | collect {collection_time:.3f}s learn {learn_time:.3f}s")
-        print(line, flush=True)
+        if self.is_main:
+            print(line, flush=True)
         if self._log_f:
             self._log_f.write(json.dumps(d) + "\n")
             self._log_f.flush()
+        for w in self._writers:
+            w(it, d)
 
     # -- checkpoint ---------------------------------------------------
 

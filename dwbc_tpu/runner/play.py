@@ -43,7 +43,7 @@ def main():
     policy = runner.get_inference_policy(stochastic=args.stochastic)
 
     state, obs = env.reset(jax.random.PRNGKey(0))
-    qs, cmds, goals, rews = [], [], [], []
+    qs, cmds, goals, rews, ees, feet = [], [], [], [], [], []
     key = jax.random.PRNGKey(1)
     for t in range(args.steps):
         key, k = jax.random.split(key)
@@ -57,13 +57,18 @@ def main():
         cmds.append(np.asarray(state.commands))
         if hasattr(state, "curr_ee_goal_cart"):
             goals.append(np.asarray(state.curr_ee_goal_cart))
+            ees.append(np.asarray(env._ee_world(state.robot.q)[0]))
+        feet.append(np.asarray(state.foot_forces))
         rews.append(np.asarray(out.rew))
 
     np.savez(args.out, q=np.stack(qs), commands=np.stack(cmds),
              ee_goal_cart=np.stack(goals) if goals else np.zeros(0),
-             rew=np.stack(rews))
+             ee_pos=np.stack(ees) if ees else np.zeros(0),
+             foot_forces=np.stack(feet),
+             rew=np.stack(rews), dt=env.dt)
     print(f"wrote {args.out}: q {np.stack(qs).shape}, "
           f"mean reward {np.stack(rews).mean():.4f}")
+    print(f"visualize with: python -m dwbc_tpu.runner.visualize {args.out}")
 
 
 if __name__ == "__main__":

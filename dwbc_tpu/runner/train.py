@@ -28,22 +28,35 @@ def main():
     ap.add_argument("--log_every", type=int, default=10)
     ap.add_argument("--headless", action="store_true", help="(always headless)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--mesh", default="auto", choices=["auto", "none"],
+                    help="'auto': shard envs over all devices/hosts of the "
+                         "job; 'none': single-device")
     args = ap.parse_args()
 
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
+    from ..parallel import distributed as dist
     from ..utils.task_registry import TASKS, make_runner
+
+    dist.initialize()  # no-op single-host
 
     if args.task not in TASKS:
         raise SystemExit(f"unknown task {args.task!r}; have {list(TASKS)}")
+
+    mesh = None
+    if args.mesh == "auto":
+        import jax
+        if len(jax.devices()) > 1:
+            mesh = dist.global_mesh()
 
     run_name = args.exptid or time.strftime("%b%d_%H-%M-%S")
     log_dir = os.path.join(args.log_root, TASKS[args.task].experiment_name,
                            run_name)
     env, runner, spec = make_runner(args.task, num_envs=args.num_envs,
-                                    seed=args.seed, log_dir=log_dir)
+                                    seed=args.seed, log_dir=log_dir,
+                                    mesh=mesh)
     if args.resume:
         ckpt = args.checkpoint or _latest_checkpoint(
             os.path.join(args.log_root, TASKS[args.task].experiment_name))

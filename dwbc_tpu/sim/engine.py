@@ -33,6 +33,7 @@ class SimParams(NamedTuple):
     limit_kp: float = 10000.0       # joint-limit stiffness [1/s^2] (inertia-relative)
     limit_kd: float = 5.0
     max_joint_vel: float = 50.0     # hard safety clamp
+    max_base_vel: float = 50.0      # base lin/ang velocity clamp
 
 
 def geom_effective_masses(model: RobotModel, q_ref: jax.Array):
@@ -138,6 +139,7 @@ def _integrate(q: jax.Array, qd: jax.Array, qdd: jax.Array, dt: float,
                max_joint_vel: float) -> Tuple[jax.Array, jax.Array]:
     """Semi-implicit Euler with quaternion exponential update."""
     qd = qd + dt * qdd
+    qd = qd.at[:6].set(jnp.clip(qd[:6], -50.0, 50.0))
     qd = qd.at[6:].set(jnp.clip(qd[6:], -max_joint_vel, max_joint_vel))
     pos = q[0:3] + dt * qd[0:3]
     quat = maths.quat_integrate(q[3:7], qd[3:6], dt)

@@ -139,7 +139,10 @@ def outer6(a, b, scale):
 
 def ldl_solve6(M, b):
     """Solve M x = b for symmetric positive-definite 6x6 via unrolled
-    LDL^T (no pivoting; articulated inertias are SPD)."""
+    LDL^T (no pivoting; articulated inertias are SPD). The pivot floor is
+    1e-6: a pivot that small means a numerically singular articulated
+    inertia (pathological DR draw / deep limit violation) where bounding
+    the acceleration beats "accurate" 1e12-scale garbage."""
     # Cholesky: L lower, M = L L^T
     L = [[None] * 6 for _ in range(6)]
     for i in range(6):
@@ -148,7 +151,7 @@ def ldl_solve6(M, b):
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             if i == j:
-                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-6))
             else:
                 L[i][j] = s / L[j][j]
     # forward substitution L y = b
@@ -497,8 +500,15 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
         lin_acc_w = mvec(R0, vadd(a0[3:], vcross(w_b, u_b2)))
 
         # ---------------- integrate (semi-implicit) ----------------
-        lin = vadd(qd["lin"], vscale(lin_acc_w, dt))
-        ang = vadd(qd["ang"], vscale(ang_acc_w, dt))
+        # base velocity clamps: a near-singular articulated inertia (deep
+        # limit violation + extreme DR draw) can spike the base solve; the
+        # clamp bounds the damage to one recoverable-or-terminated step
+        # instead of an inf->NaN cascade that no termination check catches
+        mv = params.max_base_vel
+        lin = tuple(jnp.clip(v_, -mv, mv)
+                    for v_ in vadd(qd["lin"], vscale(lin_acc_w, dt)))
+        ang = tuple(jnp.clip(v_, -mv, mv)
+                    for v_ in vadd(qd["ang"], vscale(ang_acc_w, dt)))
         joints_v = [jnp.clip(qd["joints"][j] + dt * qdd_j[j],
                              -params.max_joint_vel, params.max_joint_vel)
                     for j in range(nj)]

@@ -21,12 +21,21 @@ class TaskSpec(NamedTuple):
     experiment_name: str
 
 
-def _widow_env(num_envs, seed, terrain=None):
-    from ..envs.config import TerrainCfg, WidowGo1Cfg
+def _widow_env(num_envs, seed, terrain=None, adaptive=False):
+    from ..envs.config import ControlCfg, EnvCfg, TerrainCfg, WidowGo1Cfg
     from ..envs.widowgo1 import WidowGo1Env
     cfg = WidowGo1Cfg()
     if terrain is not None:
         cfg = dataclasses.replace(cfg, terrain=TerrainCfg(mesh_type=terrain))
+    if adaptive:
+        # adaptive arm gains + OSC torque supervision variant
+        # (widowGo1_config.py:168-169 flags; actions widen to 18+6, the
+        # extra dims entering proprio like any action)
+        cfg = dataclasses.replace(
+            cfg,
+            control=ControlCfg(adaptive_arm_gains=True,
+                               torque_supervision=True),
+            env=EnvCfg(num_actions=24, num_proprio=76 + 6))
     return WidowGo1Env(cfg, num_envs=num_envs, seed=seed)
 
 
@@ -47,11 +56,20 @@ _BASE_PPO = ppo_lib.PPOConfig(
     priv_reg_coef_schedule=(0.0, 0.0, 0.0, 1.0))
 
 
+_ADAPTIVE_PPO = dataclasses.replace(
+    _WIDOW_PPO, torque_supervision=True, adaptive_arm_gains=True,
+    min_policy_std=tuple([0.15, 0.25, 0.25] * 4 + [0.2] * 3 + [0.05] * 3
+                         + [0.05] * 6))
+
+
 TASKS: Dict[str, TaskSpec] = {
     "widowGo1": TaskSpec(_widow_env, _WIDOW_PPO, 40, 5000, "rough_widowGo1"),
     "widowGo1_flat": TaskSpec(
         lambda n, s: _widow_env(n, s, terrain="plane"), _WIDOW_PPO, 40, 5000,
         "flat_widowGo1"),
+    "widowGo1_adaptive": TaskSpec(
+        lambda n, s: _widow_env(n, s, adaptive=True), _ADAPTIVE_PPO, 40,
+        5000, "rough_widowGo1_adaptive"),
     "go1": TaskSpec(_legged_env(lc.go1_rough), _BASE_PPO, 24, 4096, "rough_go1"),
     "go1_flat": TaskSpec(_legged_env(lc.go1_flat), _BASE_PPO, 24, 4096,
                          "flat_go1"),
@@ -75,10 +93,10 @@ def make_env(task: str, num_envs=None, seed: int = 1):
 
 
 def make_runner(task: str, num_envs=None, seed: int = 1, log_dir=None,
-                max_iterations=None):
+                max_iterations=None, mesh=None):
     from ..rl.runner import OnPolicyRunner
     env, spec = make_env(task, num_envs, seed)
     runner = OnPolicyRunner(env, spec.ppo_cfg,
                             num_steps_per_env=spec.num_steps_per_env,
-                            log_dir=log_dir, seed=seed)
+                            log_dir=log_dir, seed=seed, mesh=mesh)
     return env, runner, spec
