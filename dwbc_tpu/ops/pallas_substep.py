@@ -46,10 +46,15 @@ from ..core.model import RobotModel
 from ..sim.engine import PhysCtx, SimParams
 from ..sim.fused import (axis_angle_m, cross_force6, cross_motion6,
                          ldl_solve6, m6add, m6vec, mmul, mtvec, mvec, outer6,
-                         quat_to_m, vadd, vcross, vdot, vscale, vsub)
+                         quat_to_m, transform_abi, vadd, vcross, vdot, vscale,
+                         vsub)
 from ..terrain.terrain import Heightfield
 
-TILE = (8, 128)
+# env tile per block: (8, 128*E). Measured on v5e @4096 envs: E=1 13.6ms
+# per policy step, E=2 14.8ms — the kernel is VMEM-bandwidth-bound, so
+# wider tiles only grow the live set. E=1 is the default.
+_LANE_MULT = int(__import__("os").environ.get("DWBC_PALLAS_LANES", "1"))
+TILE = (8, 128 * _LANE_MULT)
 TILE_N = TILE[0] * TILE[1]
 
 
@@ -307,10 +312,14 @@ def make_pallas_step(model: RobotModel, params: SimParams, hf: Heightfield,
                     M6[3 + i][3 + i] = m_
                 return tuple(tuple(rw) for rw in M6)
 
-            IA = [spatial_I(b) for b in range(nb)]
+            # lazy IA/pA: spatial inertia + bias force built right when the
+            # backward pass consumes body i, keeping the VMEM live-set to
+            # the ancestor accumulations instead of all nb 6x6 matrices
+            IA = [None] * nb
             pA = [None] * nb
             c_vp = [None] * nb
-            for i in range(nb):
+
+            def bias_terms(i):
                 g_b = mtvec(R[i], gvec)
                 fg_lin = vscale(g_b, mass[i])
                 fg_ang = vcross(com[i], fg_lin)
@@ -321,7 +330,9 @@ def make_pallas_step(model: RobotModel, params: SimParams, hf: Heightfield,
                     f_bias = vadd(f_bias[:3], n_b) + vadd(f_bias[3:], f_b)
                 Iv = m6vec(IA[i], v[i])
                 vxIv = cross_force6(v[i], Iv)
-                pA[i] = tuple(vxIv[kk] - f_bias[kk] for kk in range(6))
+                return tuple(vxIv[kk] - f_bias[kk] for kk in range(6))
+
+            for i in range(nb):
                 if i == 0:
                     c_vp[i] = (0.0,) * 6
                 else:
@@ -334,6 +345,12 @@ def make_pallas_step(model: RobotModel, params: SimParams, hf: Heightfield,
             u_ = [None] * nb
             for i in range(nb - 1, 0, -1):
                 pa = parent[i]
+                if IA[i] is None:
+                    IA[i] = spatial_I(i)
+                    pA[i] = bias_terms(i)
+                if IA[pa] is None:
+                    IA[pa] = spatial_I(pa)
+                    pA[pa] = bias_terms(pa)
                 Ui = m6vec(IA[i], S[i])
                 di = sum(S[i][kk] * Ui[kk] for kk in range(6)) + armature[i - 1]
                 ui = tau_eff[i - 1] - sum(S[i][kk] * pA[i][kk]
@@ -351,25 +368,7 @@ def make_pallas_step(model: RobotModel, params: SimParams, hf: Heightfield,
                 fp_ang = vadd(mvec(Rj, fw), vcross(pj, Rfu))
                 pA[pa] = tuple(pA[pa][kk] + (fp_ang + Rfu)[kk]
                                for kk in range(6))
-                cols = []
-                for e in range(6):
-                    if e < 3:
-                        ew = tuple(1.0 if kk == e else 0.0 for kk in range(3))
-                        eu = (0.0, 0.0, 0.0)
-                    else:
-                        ew = (0.0, 0.0, 0.0)
-                        eu = tuple(1.0 if kk == e - 3 else 0.0
-                                   for kk in range(3))
-                    cw = mtvec(Rj, ew)
-                    cu = mtvec(Rj, vadd(eu, vcross(ew, pj)))
-                    y = m6vec(Ia, cw + cu)
-                    yw, yu = y[:3], y[3:]
-                    Ryu = mvec(Rj, yu)
-                    col = vadd(mvec(Rj, yw), vcross(pj, Ryu)) + Ryu
-                    cols.append(col)
-                add = tuple(tuple(cols[jj][ii] for jj in range(6))
-                            for ii in range(6))
-                IA[pa] = m6add(IA[pa], add)
+                IA[pa] = m6add(IA[pa], transform_abi(Ia, Rj, pj))
 
             a0 = ldl_solve6(IA[0], tuple(-pA[0][kk] for kk in range(6)))
             a = [a0]

@@ -365,6 +365,16 @@ class OnPolicyRunner:
             counter=ckpt["counter"])
         self.it = int(ckpt["it"])
 
+    def force_terminal_schedules(self):
+        """Reference RESUME=True semantics (widowGo1_config.py:35, :359,
+        :366): jump every counter-driven schedule — env curricula (driven
+        by the iteration counter) and PPO mixing/priv-reg/torque-
+        supervision (driven by ppo_state.counter) — to terminal values."""
+        big = 1_000_000
+        self.it = max(self.it, big)
+        self.ppo_state = self.ppo_state.replace(
+            counter=jnp.maximum(self.ppo_state.counter, big))
+
     def get_inference_policy(self, stochastic: bool = False):
         params = self.ppo_state.params
         model = self.model

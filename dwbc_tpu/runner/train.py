@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--mesh", default="auto", choices=["auto", "none"],
                     help="'auto': shard envs over all devices/hosts of the "
                          "job; 'none': single-device")
+    ap.add_argument("--terminal_schedules", action="store_true",
+                    help="force all curricula/regularizer schedules to their "
+                         "terminal values (the reference's RESUME=True "
+                         "semantics, widowGo1_config.py:35)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -62,6 +66,11 @@ def main():
             os.path.join(args.log_root, TASKS[args.task].experiment_name))
         print(f"resuming from {ckpt}")
         runner.load(ckpt)
+    if args.terminal_schedules:
+        runner.force_terminal_schedules()
+    if runner.is_main:
+        from ..utils.logger import log_files
+        log_files(log_dir)  # source snapshot (reference logger.py:39-58)
     print(f"task={args.task} num_envs={env.num_envs} "
           f"steps/env={spec.num_steps_per_env} log_dir={log_dir}", flush=True)
     runner.learn(args.max_iterations, log_every=args.log_every)

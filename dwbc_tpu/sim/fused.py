@@ -137,6 +137,78 @@ def outer6(a, b, scale):
     return tuple(tuple(a[i] * b[j] * scale for j in range(6)) for i in range(6))
 
 
+def mmul_t(a, b):
+    """a @ b^T for 3x3 row-tuples."""
+    return tuple(tuple(sum(a[i][k] * b[j][k] for k in range(3))
+                       for j in range(3)) for i in range(3))
+
+
+def skew_mul(p, M):
+    """skew(p) @ M  (p a Vec3, M 3x3): rows are p x M_row-space."""
+    return (tuple(p[1] * M[2][j] - p[2] * M[1][j] for j in range(3)),
+            tuple(p[2] * M[0][j] - p[0] * M[2][j] for j in range(3)),
+            tuple(p[0] * M[1][j] - p[1] * M[0][j] for j in range(3)))
+
+
+def mul_skew(M, p):
+    """M @ skew(p): columns are M @ (p x e_j)."""
+    # skew(p) columns: col0 = (0, p2, -p1), col1 = (-p2, 0, p0), col2 = (p1, -p0, 0)
+    return tuple((
+        M[i][1] * p[2] - M[i][2] * p[1],
+        -M[i][0] * p[2] + M[i][2] * p[0],
+        M[i][0] * p[1] - M[i][1] * p[0],
+    ) for i in range(3))
+
+
+def m3add(A, B):
+    return tuple(tuple(A[i][j] + B[i][j] for j in range(3)) for i in range(3))
+
+
+def m3sub(A, B):
+    return tuple(tuple(A[i][j] - B[i][j] for j in range(3)) for i in range(3))
+
+
+def m3t(A):
+    return tuple(tuple(A[j][i] for j in range(3)) for i in range(3))
+
+
+def transform_abi(Ia, Rj, pj):
+    """Parent-frame articulated-body inertia X_f Ia X_m for joint frame
+    (Rj, pj) — Featherstone's block formula instead of the 6-basis-column
+    congruence (RBDA §2.9 style): with Ia = [[A, B], [B^T, D]],
+
+      D' = R D R^T
+      B' = R B R^T + skew(p) D'
+      A' = R A R^T + skew(p) (R B^T R^T) - (R B R^T) skew(p)
+           - skew(p) D' skew(p)
+
+    ~2.5x fewer flops than the column method — this is the hot block of
+    the whole physics step (runs per body per substep)."""
+    A = tuple(tuple(Ia[i][j] for j in range(3)) for i in range(3))
+    B = tuple(tuple(Ia[i][3 + j] for j in range(3)) for i in range(3))
+    D = tuple(tuple(Ia[3 + i][3 + j] for j in range(3)) for i in range(3))
+    RA = mmul(Rj, A)
+    RB = mmul(Rj, B)
+    RD = mmul(Rj, D)
+    Ar = mmul_t(RA, Rj)          # R A R^T
+    Br = mmul_t(RB, Rj)          # R B R^T
+    Dr = mmul_t(RD, Rj)          # R D R^T
+    pBrT = skew_mul(pj, m3t(Br))  # skew(p) (R B^T R^T) = skew(p) Br^T
+    Brp = mul_skew(Br, pj)       # Br skew(p)
+    pDr = skew_mul(pj, Dr)
+    pDrp = mul_skew(pDr, pj)
+    Atl = m3sub(m3add(Ar, pBrT), m3add(Brp, pDrp))
+    Btr = m3add(Br, pDr)
+    out = [[None] * 6 for _ in range(6)]
+    for i in range(3):
+        for j in range(3):
+            out[i][j] = Atl[i][j]
+            out[i][3 + j] = Btr[i][j]
+            out[3 + i][j] = Btr[j][i]
+            out[3 + i][3 + j] = Dr[i][j]
+    return tuple(tuple(r) for r in out)
+
+
 def ldl_solve6(M, b):
     """Solve M x = b for symmetric positive-definite 6x6 via unrolled
     LDL^T (no pivoting; articulated inertias are SPD). The pivot floor is
@@ -457,27 +529,8 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
             fp_ang = vadd(mvec(Rj, fw), vcross(pj, Rfu))
             fp_lin = Rfu
             pA[pa] = tuple(pA[pa][k] + (fp_ang + fp_lin)[k] for k in range(6))
-            # IA_parent += X_f Ia X_m^{-1}
-            # build via columns: for each of 6 parent basis motion vectors e:
-            # X_m^{-1} e = child motion; y = Ia @ that; then X_f y.
-            cols = []
-            for e in range(6):
-                # motion transform parent->child for basis vector e
-                if e < 3:
-                    ew = tuple(1.0 if k == e else 0.0 for k in range(3))
-                    eu = (0.0, 0.0, 0.0)
-                else:
-                    ew = (0.0, 0.0, 0.0)
-                    eu = tuple(1.0 if k == e - 3 else 0.0 for k in range(3))
-                cw = mtvec(Rj, ew)
-                cu = mtvec(Rj, vadd(eu, vcross(ew, pj)))
-                y = m6vec(Ia, cw + cu)
-                yw, yu = y[:3], y[3:]
-                Ryu = mvec(Rj, yu)
-                col = vadd(mvec(Rj, yw), vcross(pj, Ryu)) + Ryu
-                cols.append(col)
-            add = tuple(tuple(cols[j][i] for j in range(6)) for i in range(6))
-            IA[pa] = m6add(IA[pa], add)
+            # IA_parent += X_f Ia X_m (Featherstone block formula)
+            IA[pa] = m6add(IA[pa], transform_abi(Ia, Rj, pj))
 
         a0 = ldl_solve6(IA[0], tuple(-pA[0][k] for k in range(6)))
         a = [a0]

@@ -1,0 +1,62 @@
+"""Recurrent ActorCritic variant (reference actor_critic_recurrent.py,
+present-but-unused by widowGo1 — capability-parity module)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dwbc_tpu.models.actor_critic_recurrent import ActorCriticRecurrent
+
+
+def _make():
+    model = ActorCriticRecurrent(num_obs=48, num_actions=12,
+                                 rnn_hidden_size=64,
+                                 actor_hidden_dims=(64,),
+                                 critic_hidden_dims=(64,))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((3, 48)))
+    return model, params
+
+
+def test_step_shapes_and_state_propagation():
+    model, params = _make()
+    carry = model.apply(params, 3, method="initial_state")
+    obs = jnp.ones((3, 48))
+    carry1, mean1, val1 = model.apply(params, carry, obs, method="step")
+    assert mean1.shape == (3, 12) and val1.shape == (3, 1)
+    # hidden state must change the output on repeated identical inputs
+    carry2, mean2, _ = model.apply(params, carry1, obs, method="step")
+    assert not np.allclose(np.asarray(mean1), np.asarray(mean2))
+
+
+def test_done_resets_hidden_state():
+    model, params = _make()
+    carry = model.apply(params, 2, method="initial_state")
+    obs = jnp.ones((2, 48))
+    carry, _, _ = model.apply(params, carry, obs, method="step")
+    carry, _, _ = model.apply(params, carry, obs, method="step")
+    # env 0 done -> its next output equals a fresh-state output
+    dones = jnp.asarray([True, False])
+    _, mean_reset, _ = model.apply(params, carry, obs, dones, method="step")
+    fresh = model.apply(params, 2, method="initial_state")
+    _, mean_fresh, _ = model.apply(params, fresh, obs, method="step")
+    np.testing.assert_allclose(np.asarray(mean_reset[0]),
+                               np.asarray(mean_fresh[0]), atol=1e-6)
+    assert not np.allclose(np.asarray(mean_reset[1]),
+                           np.asarray(mean_fresh[1]))
+
+
+def test_unroll_matches_stepwise():
+    model, params = _make()
+    T, B = 5, 2
+    key = jax.random.PRNGKey(1)
+    obs_seq = jax.random.normal(key, (T, B, 48))
+    dones = jnp.zeros((T, B), bool).at[2, 0].set(True)
+    carry = model.apply(params, B, method="initial_state")
+    _, (means, values) = model.apply(params, carry, obs_seq, dones,
+                                     method="unroll")
+    assert means.shape == (T, B, 12) and values.shape == (T, B, 1)
+    c = model.apply(params, B, method="initial_state")
+    for t in range(T):
+        c, m, v = model.apply(params, c, obs_seq[t], dones[t], method="step")
+        np.testing.assert_allclose(np.asarray(m), np.asarray(means[t]),
+                                   atol=1e-6)
