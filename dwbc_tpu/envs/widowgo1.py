@@ -20,8 +20,9 @@ preserving):
   * the box actor spawns beside the robot (x-offset interpreted
     relatively); the reference's absolute box x=0 places it inside the
     Perlin wall fence (terrain.py:49 vs widowGo1_config.py:189), where
-    PhysX buries it — it is vestigial to training either way. Box-robot
-    collision is not yet modeled (box-terrain is).
+    PhysX buries it — it is vestigial to training either way. Here the
+    box is co-simulated with full two-way robot contact (sim/fused.py
+    box coupling) plus box-terrain contact, so it genuinely interacts.
 """
 
 from __future__ import annotations
@@ -153,10 +154,14 @@ class WidowGo1Env:
         self.feet_geoms = jnp.asarray(
             np.concatenate([m.geoms_of(f) for f in urdf.FEET_ORDER]))
 
-        # fused SoA physics (sim/fused.py): the hot path
+        # fused SoA physics (sim/fused.py): the hot path. The box actor is
+        # co-simulated inside the same substep with two-way robot contact
+        # (reference: PhysX simulates both actors in one scene,
+        # widowGo1.py:320-325, 378-392)
         self.fused_step = fused.make_fused_substep(
             m, self.sim_params, self.hf, self.ctx,
-            np.asarray(self.feet_geoms))
+            np.asarray(self.feet_geoms),
+            box_half_extents=(bs / 2,) * 3)
         # pallas kernel path: the whole decimation loop in ONE kernel
         # (ops/pallas_substep.py); PD-with-static-gains only
         self.pallas_step = None
@@ -576,7 +581,11 @@ class WidowGo1Env:
         # 2. decimation x physics (widowGo1.py:1175-1191), fused SoA path
         fric = jnp.maximum(state.friction, 0.0)
 
+        box_i_diag = jnp.stack([state.box_inert.inertia[:, 0, k, k]
+                                for k in range(3)], -1)
         if self.pallas_step is not None:
+            # pallas path: PD-only robot kernel; box falls back to the
+            # terrain-only fused step (no robot coupling in-kernel)
             th, tn = self._ps.sample_terrain_cache(m, self.hf, state.robot.q)
             q_n, qd_n, foot_k, tau_k, _ = self.pallas_step(
                 state.robot.q, state.robot.qd, delayed[:, :18],
@@ -584,22 +593,27 @@ class WidowGo1Env:
                 fric, th, tn)
             out = fused.FusedOut(q=q_n, qd=qd_n, foot_forces=foot_k,
                                  body_forces=None, torques=tau_k)
+            bout, _ = self.box_fused_step(
+                state.box.q, state.box.qd,
+                lambda c, a, b: (c, jnp.zeros((N, 0))),
+                state.box_inert.mass, state.box_inert.com,
+                state.box_inert.inertia, fric, cfg.control.decimation)
+            box = engine.BodyState(q=bout.q, qd=bout.qd)
         else:
             def tau_fn(carry, q_arr, qd_arr):
                 return carry, self._pd_torques(
                     delayed, q_arr[:, 7:7 + 18], qd_arr[:, 6:6 + 18],
                     state.motor_strength)
 
-            out, _ = self.fused_step(state.robot.q, state.robot.qd, tau_fn,
-                                     state.inert.mass, state.inert.com,
-                                     state.inert.inertia, fric,
-                                     cfg.control.decimation)
+            out, _, box_q_n, box_qd_n = self.fused_step(
+                state.robot.q, state.robot.qd, tau_fn,
+                state.inert.mass, state.inert.com,
+                state.inert.inertia, fric, cfg.control.decimation,
+                box_q=state.box.q, box_qd=state.box.qd,
+                box_mass=state.box_inert.mass[:, 0],
+                box_i_diag=box_i_diag)
+            box = engine.BodyState(q=box_q_n, qd=box_qd_n)
         robot = engine.BodyState(q=out.q, qd=out.qd)
-        bout, _ = self.box_fused_step(
-            state.box.q, state.box.qd, lambda c, a, b: (c, jnp.zeros((N, 0))),
-            state.box_inert.mass, state.box_inert.com,
-            state.box_inert.inertia, fric, cfg.control.decimation)
-        box = engine.BodyState(q=bout.q, qd=bout.qd)
         torques = out.torques
         state = state.replace(robot=robot, box=box, torques=torques)
 
@@ -674,7 +688,9 @@ class WidowGo1Env:
         # it contaminates obs/rewards for the rest of the run
         bad = (~jnp.all(jnp.isfinite(robot.q), -1)
                | ~jnp.all(jnp.isfinite(robot.qd), -1)
-               | (jnp.max(jnp.abs(robot.qd[:, :3]), -1) > 15.0))
+               | (jnp.max(jnp.abs(robot.qd[:, :3]), -1) > 15.0)
+               | ~jnp.all(jnp.isfinite(box.q), -1)
+               | ~jnp.all(jnp.isfinite(box.qd), -1))
         reset_buf = r_term | p_term | z_term | time_out | bad
 
         # 9. rewards (dual; NOT dt-scaled; /100 — widowGo1.py:170-205)

@@ -209,6 +209,42 @@ def transform_abi(Ia, Rj, pj):
     return tuple(tuple(r) for r in out)
 
 
+def solve3(M, b):
+    """Solve M x = b for a 3x3 (row-tuples of (N,)) via the adjugate —
+    used for the box world-inertia solve (SPD, well-conditioned)."""
+    a, bm, c = M[0]
+    d, e, f = M[1]
+    g, h, i = M[2]
+    A = e * i - f * h
+    B = c * h - bm * i
+    C = bm * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = bm * g - a * h
+    I = a * e - bm * d
+    det = a * A + bm * D + c * G
+    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    return ((A * b[0] + B * b[1] + C * b[2]) * inv,
+            (D * b[0] + E * b[1] + F * b[2]) * inv,
+            (G * b[0] + H * b[1] + I * b[2]) * inv)
+
+
+def integrate_quat(quat, ang, dt):
+    """Semi-implicit quaternion update q += 0.5 dt (omega ⊗ q), renorm.
+    quat = xyzw 4-tuple, ang = world angular velocity Vec3."""
+    qx, qy, qz, qw = quat
+    ox, oy, oz = ang
+    dqx = 0.5 * dt * (qw * ox + oy * qz - oz * qy)
+    dqy = 0.5 * dt * (qw * oy - ox * qz + oz * qx)
+    dqz = 0.5 * dt * (qw * oz + ox * qy - oy * qx)
+    dqw = 0.5 * dt * (-ox * qx - oy * qy - oz * qz)
+    nx, ny, nzq, nw = qx + dqx, qy + dqy, qz + dqz, qw + dqw
+    inv = jax.lax.rsqrt(nx * nx + ny * ny + nzq * nzq + nw * nw + 1e-12)
+    return (nx * inv, ny * inv, nzq * inv, nw * inv)
+
+
 def ldl_solve6(M, b):
     """Solve M x = b for symmetric positive-definite 6x6 via unrolled
     LDL^T (no pivoting; articulated inertias are SPD). The pivot floor is
@@ -256,11 +292,21 @@ class FusedOut(NamedTuple):
 
 def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
                        ctx: PhysCtx, foot_geoms: np.ndarray,
-                       n_substeps: int = 1):
+                       n_substeps: int = 1,
+                       box_half_extents: Optional[Tuple[float, ...]] = None):
     """Build step(q, qd, tau_fn, inert, friction) running `n_substeps`
     fused physics substeps. tau_fn(q, qd) -> (N, nj) joint torques is
     re-evaluated each substep (the reference's per-substep PD,
-    widowGo1.py:1175-1191)."""
+    widowGo1.py:1175-1191).
+
+    With `box_half_extents`, a free box body (the reference's per-env box
+    actor, widowGo1.py:320-325/378-392 — simulated by PhysX alongside the
+    robot) is co-simulated inside the same substep: robot collision
+    spheres contact the box OBB two-way (reaction wrench on the box),
+    the box's 8 rounded corners contact the terrain, and the box
+    integrates as a single Newton-Euler rigid body. step() then takes
+    box_q (N, 7), box_qd (N, 6), box_mass (N,), box_i_diag (N, 3) and
+    returns them updated."""
 
     nb = model.nb
     nj = model.nj
@@ -288,6 +334,15 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
     gvec = params.gravity
     dt = params.dt
     cp: ContactParams = params.contact
+
+    if box_half_extents is not None:
+        bhe = tuple(float(h) for h in box_half_extents)
+        # rounded corners, same compilation as core.model.free_body_model
+        box_r = 0.5 * min(bhe)
+        box_corners = [
+            (sx * (bhe[0] - box_r), sy * (bhe[1] - box_r),
+             sz * (bhe[2] - box_r))
+            for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
 
     def geom_positions(q):
         """Positions-only FK -> world sphere centers (3 x (ng, N)). Used to
@@ -334,14 +389,17 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
             nrm = (n_arr[..., 0], n_arr[..., 1], n_arr[..., 2])
         return h, nrm
 
-    def substep(q, qd, tau, mass, com, inertia, terrain_cache):
+    def substep(q, qd, tau, mass, com, inertia, terrain_cache, bx=None,
+                box_terrain=None):
         """All args component-ized:
         q: dict(pos Vec3, quat 4-tuple, joints list[nj]),
         qd: dict(lin Vec3, ang Vec3, joints list[nj]),
         tau: list[nj] of (N,),
         mass: list[nb] of (N,), com: list[nb] Vec3, inertia: list[nb] 3x3.
         terrain_cache: (h (ng, N), normal 3x(ng, N)) from sample_terrain.
-        Returns updated (q, qd) + contact info."""
+        bx: co-simulated box state dict (pos/quat/lin/ang/mass/i_diag) or
+        None; box_terrain: (h (8, N), normal 3x(8, N)) under its corners.
+        Returns updated (q, qd) + contact info + updated bx."""
 
         # ---------------- FK ----------------
         R = [None] * nb       # body->world rotations (3x3 tuples)
@@ -432,6 +490,72 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
         ft_mag = jnp.minimum(substep.friction * fn, m_share * vt_norm / dt)
         gF = tuple(jnp.where(active, fn * nrm[k] - vt[k] / vt_norm * ft_mag,
                              0.0) for k in range(3))
+
+        # ---------------- box coupling (optional) ----------------
+        # Robot spheres vs box OBB, two-way: force on the geom enters the
+        # same per-geom pipeline (so foot force sensors see box contact,
+        # like PhysX's), reaction wrench accumulates on the box.
+        if bx is not None:
+            Rb = quat_to_m(bx["quat"])
+            pb = bx["pos"]
+            vbl, wb = bx["lin"], bx["ang"]
+            m_box = bx["mass"]
+
+            d_loc = mtvec(Rb, vsub(gp, pb))               # (ng, N)
+            cl = tuple(jnp.clip(d_loc[k], -bhe[k], bhe[k]) for k in range(3))
+            delta = vsub(d_loc, cl)
+            dist = jnp.sqrt(vdot(delta, delta) + 1e-12)
+            n_w = mvec(Rb, vscale(delta, 1.0 / dist))     # box -> geom
+            phi_b = dist - radius_c
+            act_b = (phi_b < 0.0) & (dist > 1e-5)
+            cpt = vadd(pb, mvec(Rb, cl))                  # contact point
+            r_box = vsub(cpt, pb)
+            v_cp = vadd(vbl, vcross(wb, r_box))
+            vr = vsub(gv, v_cp)
+            vn_b = vdot(vr, n_w)
+            m_eff = 1.0 / (1.0 / m_share + 1.0 / m_box)
+            acc_b = (-vn_b) / dt + cp.baumgarte * jnp.maximum(
+                -phi_b - cp.slop, 0.0) / (dt * dt)
+            fn_b = jnp.where(act_b,
+                             jnp.clip(m_eff * acc_b, 0.0, cp.fn_max), 0.0)
+            vt_b = vsub(vr, vscale(n_w, vn_b))
+            vtn_b = jnp.sqrt(vdot(vt_b, vt_b) + cp.vel_eps ** 2)
+            ft_b = jnp.minimum(substep.friction * fn_b, m_eff * vtn_b / dt)
+            F_geom = tuple(jnp.where(
+                act_b, fn_b * n_w[k] - vt_b[k] / vtn_b * ft_b, 0.0)
+                for k in range(3))
+            gF = vadd(gF, F_geom)
+            box_F = tuple(-jnp.sum(F_geom[k], axis=0) for k in range(3))
+            tau_cp = vcross(r_box, F_geom)
+            box_N = tuple(-jnp.sum(tau_cp[k], axis=0) for k in range(3))
+
+            # box corners vs terrain (same contact law, shared mass)
+            ck = [jnp.asarray(np.asarray([c[k] for c in box_corners],
+                                         np.float32))[:, None]
+                  for k in range(3)]                      # (8, 1)
+            rc = mvec(Rb, ck)                             # (8, N)
+            cw = vadd(pb, rc)
+            vc = vadd(vbl, vcross(wb, rc))
+            h_c, n_c = box_terrain
+            phi_c = (cw[2] - h_c) * n_c[2] - box_r
+            act_c = phi_c < 0.0
+            cnt_c = jnp.maximum(jnp.sum(act_c.astype(jnp.float32), 0), 1.0)
+            m_sh = m_box / cnt_c
+            vn_c = vdot(vc, n_c)
+            acc_c = (-vn_c) / dt + cp.baumgarte * jnp.maximum(
+                -phi_c - cp.slop, 0.0) / (dt * dt)
+            fn_c = jnp.where(act_c,
+                             jnp.clip(m_sh * acc_c, 0.0, cp.fn_max), 0.0)
+            vt_c = vsub(vc, vscale(n_c, vn_c))
+            vtn_c = jnp.sqrt(vdot(vt_c, vt_c) + cp.vel_eps ** 2)
+            ft_c = jnp.minimum(substep.friction * fn_c, m_sh * vtn_c / dt)
+            F_c = tuple(jnp.where(
+                act_c, fn_c * n_c[k] - vt_c[k] / vtn_c * ft_c, 0.0)
+                for k in range(3))
+            box_F = vadd(box_F, tuple(jnp.sum(F_c[k], 0) for k in range(3)))
+            tau_c = vcross(rc, F_c)
+            box_N = vadd(box_N, tuple(jnp.sum(tau_c[k], 0) for k in range(3)))
+
         torque_g = vcross(r_w, gF)
 
         # per-body world wrench via one-hot matmul (no scatter)
@@ -580,16 +704,57 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
 
         q_new = dict(pos=pos, quat=quat, joints=joints)
         qd_new = dict(lin=lin, ang=ang, joints=joints_v)
-        return q_new, qd_new, gf_arr
+
+        # ---------------- box integration (Newton-Euler) ----------------
+        bx_new = bx
+        if bx is not None:
+            i_d = bx["i_diag"]
+            # world inertia I_w = Rb diag(i_d) Rb^T
+            RbI = tuple(tuple(Rb[i][j] * i_d[j] for j in range(3))
+                        for i in range(3))
+            I_w = mmul_t(RbI, Rb)
+            gyro = vcross(wb, mvec(I_w, wb))
+            wd = solve3(I_w, vsub(box_N, gyro))
+            lin_acc = vadd(gvec, vscale(box_F, 1.0 / m_box))
+            b_lin = tuple(jnp.clip(v_, -mv, mv)
+                          for v_ in vadd(vbl, vscale(lin_acc, dt)))
+            b_ang = tuple(jnp.clip(v_, -mv, mv)
+                          for v_ in vadd(wb, vscale(wd, dt)))
+            bx_new = dict(
+                pos=vadd(pb, vscale(b_lin, dt)),
+                quat=integrate_quat(bx["quat"], b_ang, dt),
+                lin=b_lin, ang=b_ang, mass=m_box, i_diag=i_d)
+
+        return q_new, qd_new, gf_arr, bx_new
+
+    def sample_box_terrain(box_q):
+        """Terrain (h, normal) under the box's 8 corners — (8, N) arrays,
+        sampled once per policy step like the robot-geom cache."""
+        pb = tuple(box_q[:, k] for k in range(3))
+        Rb = quat_to_m(tuple(box_q[:, 3 + k] for k in range(4)))
+        ck = [jnp.asarray(np.asarray([c[k] for c in box_corners],
+                                     np.float32))[:, None] for k in range(3)]
+        cw = vadd(pb, mvec(Rb, ck))
+        if hasattr(hf, "sample_with_normal"):
+            h, nrm = hf.sample_with_normal(cw[0], cw[1])
+        else:
+            h = hf.sample(cw[0], cw[1])
+            n_arr = hf.normal(cw[0], cw[1])
+            nrm = (n_arr[..., 0], n_arr[..., 1], n_arr[..., 2])
+        return h, nrm
 
     def step(q: jax.Array, qd: jax.Array, tau_fn, mass: jax.Array,
              com: jax.Array, inertia: jax.Array, friction: jax.Array,
-             n_steps: int, tau_carry=None) -> FusedOut:
+             n_steps: int, tau_carry=None, box_q=None, box_qd=None,
+             box_mass=None, box_i_diag=None) -> FusedOut:
         """q: (N, nq), qd: (N, nv); tau_fn(carry, q_arr, qd_arr) ->
         (carry, (N, nj)) — stateful controllers (e.g. the LSTM actuator
         net, reference anymal.py:71-78) thread their state through the
         substep scan via `carry`. mass (N, nb), com (N, nb, 3),
-        inertia (N, nb, 3, 3), friction (N,)."""
+        inertia (N, nb, 3, 3), friction (N,). When the builder got
+        box_half_extents, box_q (N, 7), box_qd (N, 6), box_mass (N,),
+        box_i_diag (N, 3) must be given; the return gains
+        (box_q_new, box_qd_new)."""
         # decompose to components
         qc = dict(
             pos=tuple(q[:, k] for k in range(3)),
@@ -606,26 +771,40 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
         substep.friction = friction
         terrain_cache = sample_terrain(qc)
 
+        with_box = box_half_extents is not None
+        if with_box:
+            bx0 = dict(
+                pos=tuple(box_q[:, k] for k in range(3)),
+                quat=tuple(box_q[:, 3 + k] for k in range(4)),
+                lin=tuple(box_qd[:, k] for k in range(3)),
+                ang=tuple(box_qd[:, 3 + k] for k in range(3)),
+                mass=box_mass,
+                i_diag=tuple(box_i_diag[:, k] for k in range(3)))
+            box_terrain = sample_box_terrain(box_q)
+        else:
+            bx0, box_terrain = None, None
+
         def scan_body(carry, _):
-            qc, qdc, tc = carry
+            qc, qdc, tc, bxc = carry
             q_arr = jnp.stack(list(qc["pos"]) + list(qc["quat"])
                               + qc["joints"], axis=-1)
             qd_arr = jnp.stack(list(qdc["lin"]) + list(qdc["ang"])
                                + qdc["joints"], axis=-1)
             tc, tau_arr = tau_fn(tc, q_arr, qd_arr)
             tau_c = [tau_arr[:, j] for j in range(nj)]
-            qc, qdc, gf = substep(qc, qdc, tau_c, mass_c, com_c, inert_c,
-                                  terrain_cache)
-            return (qc, qdc, tc), (gf, tau_arr)
+            qc, qdc, gf, bxc = substep(qc, qdc, tau_c, mass_c, com_c,
+                                       inert_c, terrain_cache, bxc,
+                                       box_terrain)
+            return (qc, qdc, tc, bxc), (gf, tau_arr)
 
         tc0 = tau_carry if tau_carry is not None else jnp.zeros(())
         if n_steps > 1:
-            (qc, qdc, tc_out), (gf_all, tau_all) = jax.lax.scan(
-                scan_body, (qc, qdc, tc0), None, length=n_steps)
+            (qc, qdc, tc_out, bx_out), (gf_all, tau_all) = jax.lax.scan(
+                scan_body, (qc, qdc, tc0, bx0), None, length=n_steps)
             gf_last, tau_last = gf_all[-1], tau_all[-1]
         else:
-            (qc, qdc, tc_out), (gf_last, tau_last) = scan_body(
-                (qc, qdc, tc0), None)
+            (qc, qdc, tc_out, bx_out), (gf_last, tau_last) = scan_body(
+                (qc, qdc, tc0, bx0), None)
 
         q_out = jnp.stack(list(qc["pos"]) + list(qc["quat"]) + qc["joints"],
                           axis=-1)
@@ -637,7 +816,14 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
         for g, b in enumerate(geom_body):
             E_np[b, g] = 1.0
         body_forces = jnp.einsum("bg,ngc->nbc", jnp.asarray(E_np), gf_last)
-        return FusedOut(q=q_out, qd=qd_out, foot_forces=foot,
-                        body_forces=body_forces, torques=tau_last), tc_out
+        out = FusedOut(q=q_out, qd=qd_out, foot_forces=foot,
+                       body_forces=body_forces, torques=tau_last)
+        if with_box:
+            box_q_out = jnp.stack(list(bx_out["pos"])
+                                  + list(bx_out["quat"]), axis=-1)
+            box_qd_out = jnp.stack(list(bx_out["lin"])
+                                   + list(bx_out["ang"]), axis=-1)
+            return out, tc_out, box_q_out, box_qd_out
+        return out, tc_out
 
     return step
