@@ -36,12 +36,16 @@ def _build(n=4):
         def tau_fn(c, q, qd):
             return c, jnp.zeros((n, 0))
 
-        q, qd, bq, bqd = q0, qd0, box_q0, box_qd0
-        for _ in range(steps):
+        def body(carry, _):
+            q, qd, bq, bqd = carry
             out, _, bq, bqd = step(q, qd, tau_fn, mass, com, inertia,
                                    jnp.ones((n,)), 4, box_q=bq, box_qd=bqd,
                                    box_mass=box_mass, box_i_diag=box_i_diag)
-            q, qd = out.q, out.qd
+            return (out.q, out.qd, bq, bqd), None
+
+        # scan (not a Python loop): one traced policy step, ~40x less compile
+        (q, qd, bq, bqd), _ = jax.lax.scan(
+            body, (q0, qd0, box_q0, box_qd0), None, length=steps)
         return q, qd, bq, bqd
 
     return jax.jit(run, static_argnums=4), n
@@ -85,7 +89,9 @@ def test_probe_pushes_box_sideways():
     box_q0 = jnp.zeros((n, 7)).at[:, 6].set(1.0).at[:, 2].set(BS / 2)
     q0 = (jnp.zeros((n, 7)).at[:, 6].set(1.0)
           .at[:, 0].set(-0.2).at[:, 2].set(0.05))
-    qd0 = jnp.zeros((n, 6)).at[:, 0].set(1.5)  # sliding +x at 1.5 m/s
+    # 3 m/s: ground friction (mu=1 -> ~9.8 m/s^2 decel) eats ~0.1 m/s^2
+    # of slide over the 0.10 m approach; 1.5 m/s arrived nearly stopped
+    qd0 = jnp.zeros((n, 6)).at[:, 0].set(3.0)  # sliding +x at 3 m/s
     q, qd, bq, bqd = run(q0, qd0, box_q0, jnp.zeros((n, 6)), 40)
     # box moved +x from the impact
     assert np.all(np.asarray(bq[:, 0]) > 0.005)
