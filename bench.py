@@ -3,7 +3,12 @@
 Measures the reference's own metric, Perf/total_fps = steps_per_env *
 num_envs / (collection_time + learn_time) (on_policy_runner.py:206, 220),
 on the flagship whole-body task at DWBC_BENCH_ENVS envs (default 8192,
-per BASELINE.md).
+per BASELINE.md), plus:
+  * collection vs learn wall-clock split (on_policy_runner.py:156-172);
+  * an XLA cost-analysis FLOP count -> achieved TFLOP/s and MFU vs the
+    chip's bf16 peak, so "speed-of-light" is a number, not an adjective;
+  * a jax.profiler trace artifact (logs/profile/) when DWBC_BENCH_TRACE=1;
+  * an env-count sweep (DWBC_BENCH_SWEEP=4096,8192,16384).
 
 Prints ONE json line. vs_baseline is measured against a nominal 50,000
 env-steps/s for the reference's IsaacGym widowGo1 configuration on an
@@ -20,18 +25,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 NOMINAL_REFERENCE_FPS = 50_000.0
+# per-chip bf16 peak: TPU v5e = 197 TFLOP/s (public spec). The compute
+# path here is f32 (physics), so MFU is conservative by construction.
+PEAK_FLOPS = {"tpu": 197e12}.get("tpu", 197e12)
 
 
-def main():
-    num_envs = int(os.environ.get("DWBC_BENCH_ENVS", 8192))
-    steps = int(os.environ.get("DWBC_BENCH_STEPS", 40))
-    iters = int(os.environ.get("DWBC_BENCH_ITERS", 3))
-
+def measure(num_envs: int, steps: int, iters: int, trace_dir=None):
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/dwbc_jax"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    import jax.numpy as jnp
 
     from dwbc_tpu.envs.config import WidowGo1Cfg
     from dwbc_tpu.envs.widowgo1 import WidowGo1Env
@@ -45,17 +45,82 @@ def main():
     # warmup: compile both collect variants + both update paths
     runner.learn(2, log_every=1000)
 
+    # FLOP estimate of one iteration from the compiled executables
+    flops_per_iter = 0.0
+    try:
+        coll = runner.rollout._collect_jit.lower(
+            runner.ppo_state.params, runner.env_state, runner.obs,
+            jax.numpy.zeros(()), runner.key,
+            jax.numpy.asarray(False)).compile()
+        ca = coll.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_per_iter += float(ca.get("flops", 0.0))
+    except Exception:
+        pass
+
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
     t0 = time.time()
     runner.learn(iters, log_every=1000)
     dt = time.time() - t0
-    fps = steps * num_envs * iters / dt
+    if trace_dir:
+        jax.profiler.stop_trace()
 
-    print(json.dumps({
+    # per-phase split of the measured iterations
+    coll_t = runner.tot_time  # total; recompute from the last learn call
+    fps = steps * num_envs * iters / dt
+    achieved = flops_per_iter * iters / dt if flops_per_iter else 0.0
+    return {
+        "total_fps": round(fps, 1),
+        "iters_per_s": round(iters / dt, 3),
+        "collection_time_s": round(runner.last_collection_time, 4),
+        "learn_time_s": round(runner.last_learn_time, 4),
+        "collect_flops_per_iter": flops_per_iter,
+        "achieved_tflops": round(achieved / 1e12, 3),
+        "mfu_vs_bf16_peak": round(achieved / PEAK_FLOPS, 4),
+    }
+
+
+def main():
+    num_envs = int(os.environ.get("DWBC_BENCH_ENVS", 8192))
+    steps = int(os.environ.get("DWBC_BENCH_STEPS", 40))
+    iters = int(os.environ.get("DWBC_BENCH_ITERS", 3))
+    sweep = os.environ.get("DWBC_BENCH_SWEEP", "")
+    trace = os.environ.get("DWBC_BENCH_TRACE", "")
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/dwbc_jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    trace_dir = None
+    if trace:
+        trace_dir = os.path.join("logs", "profile")
+        os.makedirs(trace_dir, exist_ok=True)
+
+    result = measure(num_envs, steps, iters, trace_dir=trace_dir)
+    out = {
         "metric": "widowGo1_train_total_fps",
-        "value": round(fps, 1),
+        "value": result["total_fps"],
         "unit": "env-steps/s/chip",
-        "vs_baseline": round(fps / NOMINAL_REFERENCE_FPS, 3),
-    }), flush=True)
+        "vs_baseline": round(result["total_fps"] / NOMINAL_REFERENCE_FPS, 3),
+        "num_envs": num_envs,
+        "collection_time_s": result["collection_time_s"],
+        "learn_time_s": result["learn_time_s"],
+        "achieved_tflops": result["achieved_tflops"],
+        "mfu_vs_bf16_peak": result["mfu_vs_bf16_peak"],
+        "pallas": os.environ.get("DWBC_PALLAS", "0"),
+    }
+    if trace_dir:
+        out["profile_trace"] = trace_dir
+    if sweep:
+        out["sweep"] = {}
+        for n in (int(x) for x in sweep.split(",")):
+            if n == num_envs:
+                out["sweep"][str(n)] = result["total_fps"]
+            else:
+                out["sweep"][str(n)] = measure(n, steps, iters)["total_fps"]
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -299,13 +299,16 @@ WIDOW_GO1_DOF_ORDER = GO1_DOF_ORDER + [
 
 FEET_ORDER = ["FR_foot", "FL_foot", "RR_foot", "RL_foot"]
 
-REFERENCE_ROOT = os.environ.get("DWBC_REFERENCE_ROOT", "/root/reference")
-WIDOW_GO1_URDF = os.path.join(
-    REFERENCE_ROOT, "legged_gym/resources/robots/widowGo1/urdf/widowGo1.urdf"
-)
-GO1_URDF = os.path.join(
-    REFERENCE_ROOT, "legged_gym/resources/robots/go1/urdf/go1.urdf"
-)
-A1_URDF = os.path.join(
-    REFERENCE_ROOT, "legged_gym/resources/robots/a1/urdf/a1.urdf"
-)
+# vendored robot descriptions (reference legged_gym/resources/robots/*):
+# URDFs ship in-repo so the framework runs standalone; visual mesh files
+# (DAE/STL) are not vendored — the sim consumes URDF inertials and
+# primitive collision geoms only. DWBC_ASSETS_ROOT overrides for custom
+# asset trees.
+ASSETS_ROOT = os.environ.get(
+    "DWBC_ASSETS_ROOT",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "assets"))
+WIDOW_GO1_URDF = os.path.join(ASSETS_ROOT,
+                              "robots/widowGo1/urdf/widowGo1.urdf")
+GO1_URDF = os.path.join(ASSETS_ROOT, "robots/go1/urdf/go1.urdf")
+A1_URDF = os.path.join(ASSETS_ROOT, "robots/a1/urdf/a1.urdf")

@@ -153,23 +153,59 @@ class DomainRandCfg:
 
 @dataclasses.dataclass(frozen=True)
 class RewardScalesCfg:
-    """Leg reward scales (widowGo1_config.py:231-260); zero scales are
-    pruned at build time like _prepare_reward_function."""
+    """Leg reward scales — the FULL selectable surface of the reference
+    (widowGo1_config.py:231-258: every `_reward_*` reachable through the
+    reflection in _prepare_reward_function, including the LeggedRobot base
+    terms). Zero scales are pruned at build time like the reference; any
+    scale here can be made nonzero without code changes."""
 
+    # active in the released config (widowGo1_config.py:238-258)
     energy_square: float = -6e-5
     survive: float = 0.2
     tracking_lin_vel_x_l1: float = 0.5
     tracking_ang_vel_yaw_exp: float = 0.15  # curriculum-driven
     hip_action_l2: float = -0.01
     foot_contacts_z: float = -1e-4
+    # zero-by-default selectable terms (widowGo1_config.py:231-257 +
+    # base legged_robot.py:832-922 via reflection)
+    termination: float = 0.0
+    tracking_lin_vel: float = 0.0
+    tracking_ang_vel: float = 0.0
+    lin_vel_z: float = 0.0
+    ang_vel_xy: float = 0.0
+    orientation: float = 0.0
+    torques: float = 0.0
+    dof_vel: float = 0.0
+    dof_acc: float = 0.0
+    base_height: float = 0.0
+    feet_air_time: float = 0.0
+    collision: float = 0.0
+    feet_stumble: float = 0.0
+    action_rate: float = 0.0
+    stand_still: float = 0.0
+    leg_energy: float = 0.0
+    leg_energy_abs_sum: float = 0.0
+    leg_energy_sum_abs: float = 0.0  # widowGo1.py:1401 (fn w/o cfg entry)
+    tracking_lin_vel_x_exp: float = 0.0
+    tracking_ang_vel_yaw_l1: float = 0.0
+    tracking_lin_vel_y_l2: float = 0.0
+    tracking_lin_vel_z_l2: float = 0.0
+    leg_action_l2: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
 class ArmRewardScalesCfg:
-    """Arm reward scales (widowGo1_config.py:261-267)."""
+    """Arm reward scales (widowGo1_config.py:259-266). `arm_orientation`
+    is omitted: its reward fn is commented out in the reference
+    (widowGo1.py:1417-1421), so enabling it there would crash — it is not
+    part of the capability surface."""
 
     tracking_ee_sphere: float = 0.55  # curriculum-driven
     arm_energy_abs_sum: float = -0.0040
+    termination: float = 0.0
+    tracking_ee_cart: float = 0.0  # curriculum-driven when command_mode='cart'
+    tracking_ee_orn: float = 0.0
+    tracking_ee_orn_ry: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -184,6 +220,16 @@ class RewardsCfg:
     soft_torque_limit: float = 1.0
     base_height_target: float = 0.25
     max_contact_force: float = 100.0
+
+
+@dataclasses.dataclass(frozen=True)
+class AssetCfg:
+    """Contact body lists (widowGo1_config.py:175-183). The released
+    reference has terminate_after_contacts_on = [] (contact termination a
+    no-op), with ["wx250", "base"] left commented as the intended set."""
+
+    penalize_contacts_on: Tuple[str, ...] = ("thigh", "trunk")
+    terminate_after_contacts_on: Tuple[str, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -266,6 +312,7 @@ class SimCfg:
 @dataclasses.dataclass(frozen=True)
 class WidowGo1Cfg:
     env: EnvCfg = EnvCfg()
+    asset: AssetCfg = AssetCfg()
     goal_ee: GoalEECfg = GoalEECfg()
     commands: CommandsCfg = CommandsCfg()
     normalization: NormalizationCfg = NormalizationCfg()

@@ -15,9 +15,9 @@ import math
 import os
 from typing import Dict, Optional, Tuple
 
-from ..core.urdf import REFERENCE_ROOT
+from ..core.urdf import ASSETS_ROOT
 
-_RES = os.path.join(REFERENCE_ROOT, "legged_gym/resources/robots")
+_RES = os.path.join(ASSETS_ROOT, "robots")
 
 
 @dataclasses.dataclass(frozen=True)

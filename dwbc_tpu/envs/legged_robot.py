@@ -36,6 +36,7 @@ class LeggedState(struct.PyTreeNode):
     last_dof_vel: jax.Array
     torques: jax.Array
     commands: jax.Array          # (N, 4): vx, vy, wyaw, heading
+    command_lin_vel_x: jax.Array  # (2,) curriculum-widened vx range
     feet_air_time: jax.Array     # (N, 4)
     last_contacts: jax.Array     # (N, 4) bool
     friction: jax.Array
@@ -46,6 +47,7 @@ class LeggedState(struct.PyTreeNode):
     terrain_types: jax.Array     # (N,) int32
     foot_forces: jax.Array       # (N, 4, 3)
     body_forces: jax.Array       # (N, nb, 3) net per-body contact force
+    episode_reward: jax.Array    # (N,) cumulative reward this episode
     actuator_hidden: jax.Array   # (layers, 2, N*nj, H) LSTM state (or (0,))
     episode_sums: Dict[str, jax.Array]
     reset_buf: jax.Array
@@ -194,6 +196,10 @@ class LeggedRobotEnv:
         self.num_obs = cfg.num_observations
         self.num_actions = cfg.num_actions
         self.noise_vec = self._noise_scale_vec()
+        # logged via the runner's metric_ channel (reference logs
+        # extras["episode"]["max_command_x"], legged_robot.py:185)
+        self.metric_names = (["max_command_x"]
+                             if cfg.commands.curriculum else [])
 
     # ------------------------------------------------------------------
 
@@ -284,6 +290,7 @@ class LeggedRobotEnv:
             last_dof_vel=jnp.zeros((N, m.nj)),
             torques=jnp.zeros((N, m.nj)),
             commands=jnp.zeros((N, 4)),
+            command_lin_vel_x=jnp.asarray(cfg.commands.lin_vel_x),
             feet_air_time=jnp.zeros((N, self.num_feet)),
             last_contacts=jnp.zeros((N, self.num_feet), bool),
             friction=friction,
@@ -294,6 +301,7 @@ class LeggedRobotEnv:
             terrain_types=types,
             foot_forces=jnp.zeros((N, self.num_feet, 3)),
             body_forces=jnp.zeros((N, m.nb, 3)),
+            episode_reward=zeros_n,
             actuator_hidden=(jnp.zeros((2, 2, N * m.nj, 8))
                              if cfg.control.use_actuator_network
                              else jnp.zeros((0,))),
@@ -306,12 +314,13 @@ class LeggedRobotEnv:
         return state.replace(key=keys[5])
 
     def _sample_commands(self, key, state) -> jax.Array:
-        """(legged_robot.py:337-351)"""
+        """(legged_robot.py:337-351); vx range is the curriculum-widened
+        one carried in state when commands.curriculum is on."""
         c = self.cfg.commands
         N = self.num_envs
         k1, k2, k3 = jax.random.split(key, 3)
-        vx = jax.random.uniform(k1, (N,), minval=c.lin_vel_x[0],
-                                maxval=c.lin_vel_x[1])
+        vx = jax.random.uniform(k1, (N,), minval=state.command_lin_vel_x[0],
+                                maxval=state.command_lin_vel_x[1])
         vy = jax.random.uniform(k2, (N,), minval=c.lin_vel_y[0],
                                 maxval=c.lin_vel_y[1])
         if c.heading_command:
@@ -332,6 +341,25 @@ class LeggedRobotEnv:
         N = self.num_envs
         m = self.model
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+
+        # command curriculum (reference legged_robot.py:443-451, the
+        # documented behavior of the commented-out update_command_curriculum
+        # called from reset_idx :161-162): once per episode-length of common
+        # steps, if the mean tracking reward of the resetting envs exceeds
+        # 80% of its ceiling, widen the vx range by 0.5 up to max_curriculum.
+        if cfg.commands.curriculum and not init:
+            n_sel = jnp.sum(mask.astype(jnp.float32))
+            mean_track = (jnp.sum(jnp.where(
+                mask, state.episode_sums["tracking_lin_vel"], 0.0))
+                / jnp.maximum(n_sel, 1.0)) / self.max_episode_length
+            tick = ((state.common_step % int(self.max_episode_length)) == 0)
+            grow = (tick & (n_sel > 0)
+                    & (mean_track > 0.8 * self.reward_scales["tracking_lin_vel"]))
+            mc = cfg.commands.max_curriculum
+            lo = jnp.clip(state.command_lin_vel_x[0] - 0.5, -mc, 0.0)
+            hi = jnp.clip(state.command_lin_vel_x[1] + 0.5, 0.0, mc)
+            state = state.replace(command_lin_vel_x=jnp.where(
+                grow, jnp.stack([lo, hi]), state.command_lin_vel_x))
 
         # terrain curriculum (legged_robot.py:421-441) — not on initial reset
         origins = state.env_origins
@@ -386,6 +414,7 @@ class LeggedRobotEnv:
             last_actions=jnp.where(mask[:, None], 0.0, state.last_actions),
             last_dof_vel=jnp.where(mask[:, None], 0.0, state.last_dof_vel),
             feet_air_time=jnp.where(mask[:, None], 0.0, state.feet_air_time),
+            episode_reward=jnp.where(mask, 0.0, state.episode_reward),
             episode_sums={k: jnp.where(mask, 0.0, v)
                           for k, v in state.episode_sums.items()},
         )
@@ -558,7 +587,18 @@ class LeggedRobotEnv:
         stats = {"rew_" + k: jnp.sum(jnp.where(reset_buf, v, 0.0))
                  / cfg.episode_length_s
                  for k, v in ep_sums.items()}
+        # TRUE episode reward/length sums harvested at termination (the
+        # reference's rewbuffer/lenbuffer deques, on_policy_runner.py:140-154)
+        ep_rew = state.episode_reward + rew
+        stats["reward_sum"] = jnp.sum(jnp.where(reset_buf, ep_rew, 0.0))
+        stats["len_sum"] = jnp.sum(jnp.where(
+            reset_buf, episode_length.astype(jnp.float32), 0.0))
+        state = state.replace(episode_reward=ep_rew)
         stats["terrain_level"] = jnp.mean(state.terrain_levels.astype(jnp.float32))
+        if cfg.commands.curriculum:
+            # runner divides by total resets -> reports the current max
+            stats["metric_max_command_x"] = (state.command_lin_vel_x[1]
+                                             * nres.astype(jnp.float32))
 
         state = self._reset_envs(k_reset, state, reset_buf)
         state = state.replace(reset_buf=reset_buf, time_out_buf=time_out,

@@ -22,7 +22,13 @@ preserving):
     Perlin wall fence (terrain.py:49 vs widowGo1_config.py:189), where
     PhysX buries it — it is vestigial to training either way. Here the
     box is co-simulated with full two-way robot contact (sim/fused.py
-    box coupling) plus box-terrain contact, so it genuinely interacts.
+    box coupling) plus box-terrain contact, so it genuinely interacts;
+  * z-termination is TERRAIN-RELATIVE (base height above the local
+    heightfield < z_threshold) where the reference compares absolute
+    root z (widowGo1.py:948). The reference trains on near-zero-mean
+    Perlin noise so absolute ~= relative there; relative is the robust
+    reading on terrain with nonzero mean and is what transfers. This
+    changes episode statistics on rough terrain by design.
 """
 
 from __future__ import annotations
@@ -78,6 +84,11 @@ class EnvState(struct.PyTreeNode):
     box_delta_y: jax.Array           # (N,)
     # sensors (filled post-step)
     foot_forces: jax.Array           # (N, 4, 3) world force per foot
+    body_forces: jax.Array           # (N, nb, 3) net contact force per body
+    feet_air_time: jax.Array         # (N, 4) for feet_air_time reward
+    last_contacts: jax.Array         # (N, 4) bool
+    episode_reward: jax.Array        # (N,) cumulative leg reward
+    episode_arm_reward: jax.Array    # (N,) cumulative arm reward
     # episode sums
     episode_sums: Dict[str, jax.Array]
     metric_sums: Dict[str, jax.Array]
@@ -154,6 +165,24 @@ class WidowGo1Env:
         self.feet_geoms = jnp.asarray(
             np.concatenate([m.geoms_of(f) for f in urdf.FEET_ORDER]))
 
+        # contact body groups (widowGo1_config.py:175-183): substring match
+        # over body names, including merged-in fixed links via sites
+        def bodies_matching(substrs):
+            idx = [i for i, bn in enumerate(m.body_names)
+                   if any(s in bn for s in substrs)]
+            for name, site in m.sites.items():
+                if any(s in name for s in substrs):
+                    idx.append(site.body)
+            return np.unique(np.asarray(idx, np.int32))
+
+        self.penalized_bodies = (
+            bodies_matching(cfg.asset.penalize_contacts_on)
+            if cfg.asset.penalize_contacts_on else np.zeros((0,), np.int32))
+        self.termination_bodies = (
+            bodies_matching(cfg.asset.terminate_after_contacts_on)
+            if cfg.asset.terminate_after_contacts_on
+            else np.zeros((0,), np.int32))
+
         # fused SoA physics (sim/fused.py): the hot path. The box actor is
         # co-simulated inside the same substep with two-way robot contact
         # (reference: PhysX simulates both actors in one scene,
@@ -196,6 +225,15 @@ class WidowGo1Env:
         # reward bookkeeping names
         self.reward_names = [k for k, v in vars(cfg.rewards.scales).items() if v != 0]
         self.arm_reward_names = [k for k, v in vars(cfg.rewards.arm_scales).items() if v != 0]
+        # the pallas kernel does not yet report per-body contact forces;
+        # fall back to the XLA path when a feature consumes them
+        if self.pallas_step is not None and (
+                self.termination_bodies.shape[0]
+                or "collision" in self.reward_names):
+            import warnings
+            warnings.warn("DWBC_PALLAS disabled: body contact forces "
+                          "required by collision/termination features")
+            self.pallas_step = None
         self.metric_names = [
             "leg_energy_abs_sum", "tracking_lin_vel_x_l1",
             "tracking_ang_vel_yaw_exp", "tracking_ee_cart",
@@ -439,6 +477,11 @@ class WidowGo1Env:
             env_origins=origins,
             box_delta_y=box_delta_y,
             foot_forces=jnp.zeros((N, 4, 3)),
+            body_forces=jnp.zeros((N, m.nb, 3)),
+            feet_air_time=jnp.zeros((N, 4)),
+            last_contacts=jnp.zeros((N, 4), bool),
+            episode_reward=zeros_n,
+            episode_arm_reward=zeros_n,
             episode_sums={k: zeros_n for k in self.reward_names + self.arm_reward_names},
             metric_sums={k: zeros_n for k in self.metric_names},
             reset_buf=jnp.zeros((N,), bool),
@@ -505,6 +548,9 @@ class WidowGo1Env:
             episode_length=jnp.where(mask, 0, state.episode_length),
             last_actions=jnp.where(mask[:, None], 0.0, state.last_actions),
             last_dof_vel=jnp.where(mask[:, None], 0.0, state.last_dof_vel),
+            feet_air_time=jnp.where(mask[:, None], 0.0, state.feet_air_time),
+            episode_reward=jnp.where(mask, 0.0, state.episode_reward),
+            episode_arm_reward=jnp.where(mask, 0.0, state.episode_arm_reward),
             action_history=jnp.where(mask[:, None, None], 0.0, state.action_history),
             obs_history=jnp.where(mask[:, None, None], 0.0, state.obs_history),
             goal_timer=jnp.where(mask, 0.0, state.goal_timer),
@@ -592,7 +638,8 @@ class WidowGo1Env:
                 state.motor_strength, state.inert.mass, state.inert.com,
                 fric, th, tn)
             out = fused.FusedOut(q=q_n, qd=qd_n, foot_forces=foot_k,
-                                 body_forces=None, torques=tau_k)
+                                 body_forces=state.body_forces * 0.0,
+                                 torques=tau_k)
             bout, _ = self.box_fused_step(
                 state.box.q, state.box.qd,
                 lambda c, a, b: (c, jnp.zeros((N, 0))),
@@ -619,7 +666,8 @@ class WidowGo1Env:
 
         # foot force sensors: per-foot world contact force (widowGo1.py:1090-1098)
         foot_forces = out.foot_forces  # (N, 4, 3)
-        state = state.replace(foot_forces=foot_forces)
+        state = state.replace(foot_forces=foot_forces,
+                              body_forces=out.body_forces)
 
         # 3. post-physics bookkeeping
         episode_length = state.episode_length + 1
@@ -681,6 +729,14 @@ class WidowGo1Env:
             (pitch < -0.2) & (curr_goal[:, 1] <= 0))
         z_term = robot.q[:, 2] - self.hf.sample(robot.q[:, 0], robot.q[:, 1]) \
             < cfg.termination.z_threshold
+        # contact-force termination (widowGo1.py:940); released config has
+        # terminate_after_contacts_on = [] so this is pruned by default
+        if self.termination_bodies.shape[0]:
+            term_f = jnp.linalg.norm(
+                state.body_forces[:, self.termination_bodies], axis=-1)
+            contact_term = jnp.any(term_f > 1.0, axis=-1)
+        else:
+            contact_term = jnp.zeros((N,), bool)
         time_out = episode_length > self.max_episode_length
         # blow-up guard (no reference analogue — PhysX clamps internally):
         # non-finite state or a ballistic base never satisfies the NaN-
@@ -691,12 +747,14 @@ class WidowGo1Env:
                | (jnp.max(jnp.abs(robot.qd[:, :3]), -1) > 15.0)
                | ~jnp.all(jnp.isfinite(box.q), -1)
                | ~jnp.all(jnp.isfinite(box.qd), -1))
-        reset_buf = r_term | p_term | z_term | time_out | bad
+        reset_buf = contact_term | r_term | p_term | z_term | time_out | bad
 
         # 9. rewards (dual; NOT dt-scaled; /100 — widowGo1.py:170-205)
-        rew, arm_rew, ep_sums, met_sums = self._rewards(
+        rew, arm_rew, ep_sums, met_sums, new_air, new_contacts = self._rewards(
             state, base_lin_vel, base_ang_vel, base_yaw_quat, ee_pos, ee_orn,
-            curr)
+            curr, reset_buf, time_out)
+        state = state.replace(feet_air_time=new_air,
+                              last_contacts=new_contacts)
         # exploded envs produce garbage rewards on their final step; zero
         # them so episode stats and the learner never see non-finite values
         rew = jnp.where(jnp.isfinite(rew) & ~bad, rew, 0.0)
@@ -716,6 +774,16 @@ class WidowGo1Env:
         for k, v in met_sums.items():
             stats["metric_" + k] = jnp.sum(jnp.where(reset_buf, v, 0.0)) / (
                 self.cfg.env.episode_length_s)
+        # TRUE episode reward/length sums at termination (the reference's
+        # rewbuffer/lenbuffer, on_policy_runner.py:140-154)
+        ep_rew = state.episode_reward + rew
+        ep_arm = state.episode_arm_reward + arm_rew
+        stats["reward_sum"] = jnp.sum(jnp.where(reset_buf, ep_rew, 0.0))
+        stats["arm_reward_sum"] = jnp.sum(jnp.where(reset_buf, ep_arm, 0.0))
+        stats["len_sum"] = jnp.sum(jnp.where(
+            reset_buf, episode_length.astype(jnp.float32), 0.0))
+        state = state.replace(episode_reward=ep_rew,
+                              episode_arm_reward=ep_arm)
 
         # 11. masked reset (command resample only for timed-out envs)
         state = self._reset_envs(k_reset, state, reset_buf,
@@ -809,85 +877,172 @@ class WidowGo1Env:
         return obs, obs_history
 
     def _rewards(self, state: EnvState, base_lin_vel, base_ang_vel,
-                 base_yaw_quat, ee_pos, ee_orn, curr):
-        """All active reward terms (widowGo1.py:1352-1469), scales applied,
-        episode/metric sums updated. Scales NOT multiplied by dt
-        (widowGo1.py:127-133); each head divided by 100 (:189, :205)."""
+                 base_yaw_quat, ee_pos, ee_orn, curr, reset_buf, time_out):
+        """The FULL selectable reward library (widowGo1.py:1352-1469 + the
+        base legged_robot.py:832-922 terms reachable through reflection),
+        scales applied, episode/metric sums updated. Scales NOT multiplied
+        by dt (widowGo1.py:127-133); each head divided by 100 (:189, :205).
+        Inactive terms are dead code XLA eliminates; any scale in the cfg
+        can be made nonzero without code changes."""
         cfg = self.cfg
         s = cfg.rewards.scales
         a = cfg.rewards.arm_scales
+        N = self.num_envs
         robot = state.robot
         torques = state.torques
+        dof_pos = robot.q[:, 7:]
         dof_vel = robot.qd[:, 6:]
         cmd = state.commands
         ep = dict(state.episode_sums)
         met = dict(state.metric_sums)
+        base_quat = robot.q[:, 3:7]
+        projected_gravity = maths.quat_rotate_inverse(
+            base_quat, jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), (N, 3)))
 
-        # --- leg terms ---
-        lin_err = jnp.abs(cmd[:, 0] - base_lin_vel[:, 0])
-        r_track_x = (-lin_err + jnp.abs(cmd[:, 0]))
+        # foot contact bookkeeping for feet_air_time (legged_robot.py:898-909)
+        contact = state.foot_forces[:, :, 2] > 1.0
+        contact_filt = contact | state.last_contacts
+        first_contact = (state.feet_air_time > 0.0) & contact_filt
+        air_time = state.feet_air_time + self.dt
+
+        # --- leg terms (raw values; reference fn bodies cited inline) ---
+        lin_err = jnp.abs(cmd[:, 0] - base_lin_vel[:, 0])          # :1427
         met["tracking_lin_vel_x_l1"] = met["tracking_lin_vel_x_l1"] + lin_err
-
-        yaw_err = jnp.abs(cmd[:, 2] - base_ang_vel[:, 2])
-        r_track_yaw = jnp.exp(-yaw_err / cfg.rewards.tracking_sigma)
+        yaw_err = jnp.abs(cmd[:, 2] - base_ang_vel[:, 2])          # :1441
         met["tracking_ang_vel_yaw_exp"] = met["tracking_ang_vel_yaw_exp"] + yaw_err
-
-        energy_sq = jnp.sum(jnp.square(torques[:, :12] * dof_vel[:, :12]), -1)
+        leg_power = torques[:, :12] * dof_vel[:, :12]
+        energy_sq = jnp.sum(jnp.square(leg_power), -1)             # :1466
         met["energy_square"] = met["energy_square"] + energy_sq
-
-        hip_l2 = jnp.sum(jnp.square(state.actions[:, jnp.array([0, 3, 6, 9])]), -1)
+        hip_l2 = jnp.sum(jnp.square(
+            state.actions[:, jnp.array([0, 3, 6, 9])]), -1)        # :1379
         met["leg_action_l2"] = met["leg_action_l2"] + hip_l2
-
         fz = state.foot_forces[:, :, 2]
-        foot_z = jnp.sum(jnp.square(fz), -1)
+        foot_z = jnp.sum(jnp.square(fz), -1)                       # :1455
         met["foot_contacts_z"] = met["foot_contacts_z"] + foot_z
+        torque_sq = jnp.sum(jnp.square(torques), -1)               # :1460
+        met["torque"] = met["torque"] + torque_sq
+        leg_energy_abs = jnp.sum(jnp.abs(leg_power), -1)           # :1396
+        met["leg_energy_abs_sum"] = met["leg_energy_abs_sum"] + leg_energy_abs
 
-        met["torque"] = met["torque"] + jnp.sum(jnp.square(torques), -1)
-        met["leg_energy_abs_sum"] = met["leg_energy_abs_sum"] + jnp.sum(
-            jnp.abs(torques[:, :12] * dof_vel[:, :12]), -1)
+        rew_air = jnp.sum((air_time - 0.5) * first_contact, -1)
+        rew_air = rew_air * (jnp.linalg.norm(cmd[:, :2], axis=1) > 0.1)
+        if self.penalized_bodies.shape[0]:
+            pen_f = jnp.linalg.norm(
+                state.body_forces[:, self.penalized_bodies], axis=-1)
+            collision = jnp.sum((pen_f > 0.1).astype(jnp.float32), -1)
+        else:
+            collision = jnp.zeros(N)
 
-        survive = jnp.ones(self.num_envs)
-
-        # curriculum-scaled tracking_ang_vel_yaw_exp (widowGo1.py:683)
-        yaw_scale = curr["tracking_ang_vel_yaw_exp"]
         terms = {
-            "energy_square": s.energy_square * energy_sq,
-            "survive": s.survive * survive,
-            "tracking_lin_vel_x_l1": s.tracking_lin_vel_x_l1 * r_track_x,
-            "tracking_ang_vel_yaw_exp": yaw_scale * r_track_yaw,
-            "hip_action_l2": s.hip_action_l2 * hip_l2,
-            "foot_contacts_z": s.foot_contacts_z * foot_z,
+            # active in the released config
+            "energy_square": energy_sq,
+            "survive": jnp.ones(N),                                # :1452
+            "tracking_lin_vel_x_l1": -lin_err + jnp.abs(cmd[:, 0]),
+            "tracking_ang_vel_yaw_exp": jnp.exp(
+                -yaw_err / cfg.rewards.tracking_sigma),
+            "hip_action_l2": hip_l2,
+            "foot_contacts_z": foot_z,
+            # widowGo1-specific selectables
+            "tracking_lin_vel_x_exp": jnp.exp(                      # :1432
+                -lin_err / cfg.rewards.tracking_sigma),
+            "tracking_ang_vel_yaw_l1": -yaw_err + jnp.abs(cmd[:, 2]),  # :1437
+            "tracking_lin_vel_y_l2": jnp.square(                    # :1446
+                cmd[:, 1] - base_lin_vel[:, 1]),
+            # reference :1449-1450 indexes cmd[:,2] vs lin vel z (verbatim)
+            "tracking_lin_vel_z_l2": jnp.square(
+                cmd[:, 2] - base_lin_vel[:, 2]),
+            "leg_energy": jnp.sum(leg_power, -1),                   # :1410
+            "leg_energy_abs_sum": leg_energy_abs,
+            "leg_energy_sum_abs": jnp.abs(jnp.sum(leg_power, -1)),  # :1401
+            "leg_action_l2": jnp.sum(                               # :1405
+                jnp.square(state.actions[:, :12]), -1),
+            "torques": torque_sq,
+            # base LeggedRobot terms (legged_robot.py:832-922)
+            "termination": (reset_buf & ~time_out).astype(jnp.float32),
+            "tracking_lin_vel": jnp.exp(-jnp.sum(jnp.square(
+                cmd[:, :2] - base_lin_vel[:, :2]), -1)
+                / cfg.rewards.tracking_sigma),
+            "tracking_ang_vel": jnp.exp(-jnp.square(
+                cmd[:, 2] - base_ang_vel[:, 2]) / cfg.rewards.tracking_sigma),
+            "lin_vel_z": jnp.square(base_lin_vel[:, 2]),
+            "ang_vel_xy": jnp.sum(jnp.square(base_ang_vel[:, :2]), -1),
+            "orientation": jnp.sum(jnp.square(projected_gravity[:, :2]), -1),
+            "dof_vel": jnp.sum(jnp.square(dof_vel), -1),
+            "dof_acc": jnp.sum(jnp.square(
+                (state.last_dof_vel - dof_vel) / self.dt), -1),
+            # measure_heights=False -> measured_heights == 0 in the base fn
+            "base_height": jnp.square(
+                robot.q[:, 2] - cfg.rewards.base_height_target),
+            "feet_air_time": rew_air,
+            "collision": collision,
+            "feet_stumble": jnp.any(
+                jnp.linalg.norm(state.foot_forces[:, :, :2], axis=-1)
+                > 5 * jnp.abs(fz), axis=-1).astype(jnp.float32),
+            "action_rate": jnp.sum(jnp.square(
+                state.last_actions - state.actions), -1),
+            "stand_still": (jnp.sum(
+                jnp.abs(dof_pos - self.default_dof_pos[None]), -1)
+                * (jnp.linalg.norm(cmd[:, :2], axis=1) < 0.1)),
         }
-        rew = jnp.zeros(self.num_envs)
+        # curriculum overwrites the tracking_ang_vel_yaw_exp scale
+        # (widowGo1.py:683)
+        rew = jnp.zeros(N)
         for k in self.reward_names:
-            rew = rew + terms[k]
-            ep[k] = ep[k] + terms[k]
+            scale = (curr["tracking_ang_vel_yaw_exp"]
+                     if k == "tracking_ang_vel_yaw_exp"
+                     else getattr(s, k))
+            r = scale * terms[k]
+            rew = rew + r
+            ep[k] = ep[k] + r
+        if cfg.rewards.only_positive_rewards:
+            rew = jnp.maximum(rew, 0.0)
         rew = rew / 100.0
 
         # --- arm terms ---
         base_xy_z = jnp.concatenate(
-            [robot.q[:, 0:2],
-             jnp.full((self.num_envs, 1), self.z_invariant_offset)], -1)
+            [robot.q[:, 0:2], jnp.full((N, 1), self.z_invariant_offset)], -1)
         ee_local = maths.quat_rotate_inverse(base_yaw_quat, ee_pos - base_xy_z)
         sphere_err = jnp.sum(
             jnp.abs(maths.cart2sphere(ee_local) - state.curr_ee_goal_sphere)
-            * self.sphere_error_scale, -1)
+            * self.sphere_error_scale, -1)                         # :1352
         met["tracking_ee_sphere"] = met["tracking_ee_sphere"] + sphere_err
-        r_ee = jnp.exp(-sphere_err / cfg.rewards.tracking_ee_sigma)
+        target_ee = base_xy_z + maths.quat_rotate(
+            base_yaw_quat, state.curr_ee_goal_cart)                # :1360
+        cart_err = jnp.sum(jnp.abs(ee_pos - target_ee), -1)
+        met["tracking_ee_cart"] = met["tracking_ee_cart"] + cart_err
+        ee_orn_euler = jnp.stack(maths.euler_from_quat(ee_orn), -1)
+        orn_delta = maths.wrap_to_pi(
+            state.ee_goal_orn_euler - ee_orn_euler) * self.orn_error_scale
+        orn_err = jnp.sum(jnp.abs(orn_delta), -1)                  # :1368
+        orn_err_ry = jnp.sum(jnp.abs(orn_delta[:, jnp.array([0, 2])]), -1)
+        met["tracking_ee_orn"] = met["tracking_ee_orn"] + orn_err_ry  # :1392
+        arm_energy = jnp.sum(
+            jnp.abs(torques[:, 12:18] * dof_vel[:, 12:18]), -1)    # :1414
 
-        arm_energy = jnp.sum(jnp.abs(torques[:, 12:18] * dof_vel[:, 12:18]), -1)
-
+        sig = cfg.rewards.tracking_ee_sigma
         arm_terms = {
-            "tracking_ee_sphere": curr["tracking_ee"] * r_ee,
-            "arm_energy_abs_sum": a.arm_energy_abs_sum * arm_energy,
+            "tracking_ee_sphere": jnp.exp(-sphere_err / sig),
+            "tracking_ee_cart": jnp.exp(-cart_err / sig),
+            "tracking_ee_orn": jnp.exp(-orn_err / sig),            # :1368
+            "tracking_ee_orn_ry": jnp.exp(-orn_err_ry / sig),      # :1384
+            "arm_energy_abs_sum": arm_energy,
+            "termination": (reset_buf & ~time_out).astype(jnp.float32),
         }
-        arm_rew = jnp.zeros(self.num_envs)
+        # curriculum drives whichever tracking term the command mode uses
+        # (widowGo1.py:689-692)
+        curr_name = ("tracking_ee_sphere"
+                     if "tracking_ee_sphere" in self.arm_reward_names
+                     else "tracking_ee_cart")
+        arm_rew = jnp.zeros(N)
         for k in self.arm_reward_names:
-            arm_rew = arm_rew + arm_terms[k]
-            ep[k] = ep[k] + arm_terms[k]
+            scale = curr["tracking_ee"] if k == curr_name else getattr(a, k)
+            r = scale * arm_terms[k]
+            arm_rew = arm_rew + r
+            ep[k] = ep[k] + r
         arm_rew = arm_rew / 100.0
 
-        return rew, arm_rew, ep, met
+        new_air = air_time * ~contact_filt
+        return rew, arm_rew, ep, met, new_air, contact
 
     def _osc_target(self, state: EnvState):
         """Operational-space control expert torques for supervision

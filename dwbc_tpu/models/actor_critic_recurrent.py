@@ -50,6 +50,11 @@ class ActorCriticRecurrent(nn.Module):
                                         self.init_noise_std))
 
     def initial_state(self, batch: int):
+        return self.initial_state_static(batch)
+
+    def initial_state_static(self, batch: int):
+        """Zero carry; plain python (no module scope) so it can be called
+        on the unbound module, outside apply()."""
         if self.rnn_type == "lstm":
             z = jnp.zeros((batch, self.rnn_hidden_size))
             return ((z, z), (z, z))

@@ -4,8 +4,8 @@ anydrive_v3_lstm.pt).
 
 Per-joint 2-layer LSTM (input [pos_err, vel], hidden 8) + linear torque
 head, evaluated every physics substep with per-(env, joint) hidden state.
-Weights are converted from the reference's .pt at build time (torch is
-only used for deserialization, never in the compute path)."""
+Weights ship vendored as .npz (converted once from the reference's
+TorchScript .pt at asset-vendoring time); no torch at runtime."""
 
 from __future__ import annotations
 
@@ -16,9 +16,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-DEFAULT_PT = os.path.join(
-    os.environ.get("DWBC_REFERENCE_ROOT", "/root/reference"),
-    "legged_gym/resources/actuator_nets/anydrive_v3_lstm.pt")
+from ..core.urdf import ASSETS_ROOT
+
+DEFAULT_NPZ = os.path.join(ASSETS_ROOT,
+                           "actuator_nets/anydrive_v3_lstm.npz")
 
 HIDDEN = 8
 LAYERS = 2
@@ -32,11 +33,14 @@ class ActuatorNetParams(NamedTuple):
     b_out: jnp.ndarray             # (1,)
 
 
-def load_params(path: str = DEFAULT_PT) -> ActuatorNetParams:
-    import torch
+def load_params(path: str = DEFAULT_NPZ) -> ActuatorNetParams:
+    if path.endswith(".pt"):  # convert from a TorchScript checkpoint
+        import torch
 
-    sm = torch.jit.load(path, map_location="cpu")
-    p = {k: v.detach().numpy() for k, v in sm.named_parameters()}
+        sm = torch.jit.load(path, map_location="cpu")
+        p = {k: v.detach().numpy() for k, v in sm.named_parameters()}
+    else:
+        p = dict(np.load(path))
     return ActuatorNetParams(
         w_ih=tuple(jnp.asarray(p[f"lstm.weight_ih_l{i}"]) for i in range(LAYERS)),
         w_hh=tuple(jnp.asarray(p[f"lstm.weight_hh_l{i}"]) for i in range(LAYERS)),

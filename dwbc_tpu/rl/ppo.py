@@ -94,10 +94,15 @@ class Transition(NamedTuple):
 
 def make_optimizers(cfg: PPOConfig, params):
     """Main Adam over all params + masked Adam over the history encoder
-    (the DAgger phase trains only the adaptation module, ppo.py:79)."""
+    (the DAgger phase trains only the adaptation module, ppo.py:79).
+
+    The main chain deliberately ends at scale_by_adam (lr = 1): the
+    KL-adaptive learning rate is applied functionally in the minibatch
+    step (updates * -lr), so no optimizer hyperparameter is mutated
+    inside the scan body (robust to optax internals changing)."""
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.inject_hyperparams(optax.adam)(learning_rate=cfg.learning_rate),
+        optax.scale_by_adam(),
     )
 
     def hist_mask(params):
@@ -272,8 +277,7 @@ def update(
             # analytic PD forward model of the env's arm torque path
             # (ppo.py:304-324 arm_fk_{fixed,adaptive}_gains)
             p_g, d_g, def_pos, a_scale = arm_default
-            act_mean = model.apply(params, obs, False,
-                                   method="act_mean")
+            act_mean = mean  # same forward pass as the surrogate's
             if cfg.adaptive_arm_gains:
                 target_pos = act_mean[:, 12:-6]
                 delta_p = act_mean[:, -6:]
@@ -322,9 +326,9 @@ def update(
                            jnp.maximum(1e-5, lr / 1.5), lr)
             lr = jnp.where((kl < cfg.desired_kl / 2.0) & (kl > 0.0),
                            jnp.minimum(1e-2, lr * 1.5), lr)
-        # inject current lr into the optimizer hyperparams
-        opt_state[1].hyperparams["learning_rate"] = lr
         updates, opt_state = tx.update(grads, opt_state, params)
+        # functional lr application (adam chain is unit-lr)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
         params = optax.apply_updates(params, updates)
         metrics = {
             "value_loss": metrics["value_loss"] + aux["value_loss"],

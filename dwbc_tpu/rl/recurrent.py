@@ -1,0 +1,229 @@
+"""Recurrent PPO training path (BPTT), TPU-native.
+
+The reference trains LSTM policies by storing per-step hidden states in
+transitions (rsl_rl algorithms/ppo.py:115-127) and re-forwarding padded
+per-trajectory minibatches (rollout_storage.py:208-257 +
+utils/utils.py:33-71 split_and_pad_trajectories). The TPU formulation is
+simpler and equivalent: the rollout scan carries the hidden state
+explicitly, resetting it where episodes end, and the update re-unrolls
+the whole (T, N) trajectory from the SAME initial carry with the same
+done masks — a masked lax.scan instead of trajectory splitting/padding
+(hidden state is zero after every done either way). Minibatching is over
+the env dimension, which never splits a trajectory.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models.actor_critic_recurrent import ActorCriticRecurrent
+from . import ppo as ppo_lib
+
+
+class RecurrentTransition(NamedTuple):
+    obs: jax.Array        # (T, N, D)
+    actions: jax.Array    # (T, N, A)
+    rewards: jax.Array    # (T, N, 1)
+    dones: jax.Array      # (T, N) reset flags AFTER this step
+    dones_prev: jax.Array  # (T, N) reset flags BEFORE this step (carry mask)
+    time_outs: jax.Array  # (T, N)
+    values: jax.Array     # (T, N, 1)
+    log_probs: jax.Array  # (T, N, 1)
+    mu: jax.Array
+    sigma: jax.Array
+
+
+def _logp(actions, mean, std):
+    lp = (-0.5 * jnp.square((actions - mean) / std) - jnp.log(std)
+          - 0.5 * math.log(2 * math.pi))
+    return lp.sum(-1, keepdims=True)
+
+
+class RecurrentPPO:
+    """Rollout + BPTT update for ActorCriticRecurrent over a VecEnv-style
+    jitted env (single-head action space, locomotion family)."""
+
+    def __init__(self, env, model: ActorCriticRecurrent,
+                 cfg: ppo_lib.PPOConfig, num_steps: int = 24):
+        assert cfg.num_heads == 1, "recurrent path is single-head"
+        self.env = env
+        self.model = model
+        self.cfg = cfg
+        self.num_steps = num_steps
+        self._collect = jax.jit(self._collect_impl)
+        self._update = jax.jit(self._update_impl)
+
+    def init_carry(self, num_envs: int):
+        return self.model.initial_state_static(num_envs)
+
+    # -- rollout -------------------------------------------------------
+
+    def _collect_impl(self, params, env_state, obs, carry, last_dones, key):
+        env = self.env
+
+        def step_fn(sc, key_t):
+            env_state, obs, carry, dprev = sc
+            carry, mean, value = self.model.apply(
+                params, carry, obs, dprev, method="step")
+            std = params["params"]["std"]
+            eps = jax.random.normal(key_t, mean.shape)
+            actions = mean + eps * std
+            logp = _logp(actions, mean, std)
+            env_state, out = env.step(env_state, actions)
+            tr = RecurrentTransition(
+                obs=obs, actions=actions, rewards=out.rew[..., None],
+                dones=out.reset, dones_prev=dprev, time_outs=out.time_outs,
+                values=value, log_probs=logp, mu=mean,
+                sigma=jnp.broadcast_to(std, mean.shape))
+            return (env_state, out.obs, carry, out.reset), tr
+
+        keys = jax.random.split(key, self.num_steps)
+        (env_state, obs, carry, dlast), traj = jax.lax.scan(
+            step_fn, (env_state, obs, carry, last_dones), keys)
+        # bootstrap value of the final obs (hidden reset where just done)
+        _, _, last_values = self.model.apply(params, carry, obs, dlast,
+                                             method="step")
+        return env_state, obs, carry, dlast, traj, last_values
+
+    def collect(self, params, env_state, obs, carry, last_dones, key):
+        return self._collect(params, env_state, obs, carry, last_dones, key)
+
+    def update(self, ppo_state, traj, h0, last_values, key):
+        return self._update(ppo_state, traj, h0, last_values, key)
+
+    # -- update --------------------------------------------------------
+
+    def _update_impl(self, ppo_state, traj: RecurrentTransition, h0,
+                     last_values, key):
+        cfg = self.cfg
+        tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
+                         optax.scale_by_adam())
+
+        # GAE identical to the feedforward path
+        fake = ppo_lib.Transition(
+            obs=traj.obs, actions=traj.actions, rewards=traj.rewards,
+            dones=traj.dones, time_outs=traj.time_outs, values=traj.values,
+            log_probs=traj.log_probs, mu=traj.mu, sigma=traj.sigma,
+            target_arm_torques=None, current_arm_dof_pos=None,
+            current_arm_dof_vel=None)
+        returns, advantages = ppo_lib.compute_gae(cfg, fake, last_values)
+
+        T, N = traj.dones.shape
+        mb_envs = N // cfg.num_mini_batches
+        perm = jax.random.permutation(key, N)
+
+        def loss_fn(params, idx):
+            obs_seq = traj.obs[:, idx]
+            dprev_seq = traj.dones_prev[:, idx]
+            carry0 = jax.tree.map(lambda h: h[idx], h0)
+            _, (mean, value) = self.model.apply(
+                params, carry0, obs_seq, dprev_seq, method="unroll")
+            std = params["params"]["std"]
+            logp = _logp(traj.actions[:, idx], mean, std)
+            adv = advantages[:, idx]
+            ratio = jnp.exp(logp - traj.log_probs[:, idx])
+            surr = -adv * ratio
+            surr_c = -adv * jnp.clip(ratio, 1 - cfg.clip_param,
+                                     1 + cfg.clip_param)
+            surrogate_loss = jnp.maximum(surr, surr_c).mean()
+            old_v = traj.values[:, idx]
+            ret = returns[:, idx]
+            v_clip = old_v + jnp.clip(value - old_v, -cfg.clip_param,
+                                      cfg.clip_param)
+            v_loss = jnp.maximum(jnp.square(value - ret),
+                                 jnp.square(v_clip - ret)).mean()
+            entropy = (0.5 + 0.5 * math.log(2 * math.pi)
+                       + jnp.log(std)).sum()
+            loss = (surrogate_loss + cfg.value_loss_coef * v_loss
+                    - cfg.entropy_coef * entropy)
+            kl = jnp.sum(
+                jnp.log(std / traj.sigma[:, idx] + 1e-5)
+                + (jnp.square(traj.sigma[:, idx])
+                   + jnp.square(traj.mu[:, idx] - mean))
+                / (2.0 * jnp.square(std)) - 0.5, axis=-1)
+            return loss, dict(value_loss=v_loss,
+                              surrogate_loss=surrogate_loss,
+                              kl_mean=jax.lax.stop_gradient(kl.mean()))
+
+        def mb_step(carry, idx):
+            params, opt_state, lr, metrics = carry
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, idx)
+            if cfg.desired_kl is not None and cfg.schedule == "adaptive":
+                kl = aux["kl_mean"]
+                lr = jnp.where(kl > cfg.desired_kl * 2.0,
+                               jnp.maximum(1e-5, lr / 1.5), lr)
+                lr = jnp.where((kl < cfg.desired_kl / 2.0) & (kl > 0.0),
+                               jnp.minimum(1e-2, lr * 1.5), lr)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+            params = optax.apply_updates(params, updates)
+            metrics = {k: metrics[k] + aux[k]
+                       for k in ("value_loss", "surrogate_loss")}
+            return (params, opt_state, lr, metrics), None
+
+        idx_mat = jnp.tile(
+            perm[: cfg.num_mini_batches * mb_envs].reshape(
+                cfg.num_mini_batches, mb_envs),
+            (cfg.num_learning_epochs, 1))
+        zero = {"value_loss": jnp.zeros(()), "surrogate_loss": jnp.zeros(())}
+        carry = (ppo_state.params, ppo_state.opt_state,
+                 ppo_state.learning_rate, zero)
+        (params, opt_state, lr, metrics), _ = jax.lax.scan(mb_step, carry,
+                                                           idx_mat)
+        n = cfg.num_learning_epochs * cfg.num_mini_batches
+        metrics = {k: v / n for k, v in metrics.items()}
+        return ppo_state.replace(params=params, opt_state=opt_state,
+                                 learning_rate=lr,
+                                 counter=ppo_state.counter + 1), metrics
+
+
+class RecurrentRunner:
+    """Minimal training driver for the recurrent path (the full-featured
+    OnPolicyRunner drives the feedforward families)."""
+
+    def __init__(self, env, cfg: ppo_lib.PPOConfig, num_steps_per_env=24,
+                 seed: int = 1, rnn_hidden_size: int = 64):
+        self.env = env
+        self.model = ActorCriticRecurrent(
+            num_obs=env.num_obs, num_actions=env.num_actions,
+            rnn_hidden_size=rnn_hidden_size,
+            actor_hidden_dims=(64,), critic_hidden_dims=(64,))
+        key = jax.random.PRNGKey(seed)
+        self.key, k_init, k_env = jax.random.split(key, 3)
+        params = self.model.init(k_init, jnp.zeros((1, env.num_obs)))
+        tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
+                         optax.scale_by_adam())
+        self.ppo_state = ppo_lib.PPOState(
+            params=params, opt_state=tx.init(params),
+            hist_opt_state=tx.init(params),
+            learning_rate=jnp.asarray(cfg.learning_rate),
+            counter=jnp.zeros((), jnp.int32))
+        self.alg = RecurrentPPO(env, self.model, cfg, num_steps_per_env)
+        self.env_state, self.obs = env.reset(k_env)
+        self.carry = self.model.initial_state_static(env.num_envs)
+        self.last_dones = jnp.zeros((env.num_envs,), bool)
+
+    def learn(self, num_iterations: int, log=print):
+        history = []
+        for it in range(num_iterations):
+            self.key, k_roll, k_up = jax.random.split(self.key, 3)
+            h0 = self.carry
+            (self.env_state, self.obs, self.carry, self.last_dones, traj,
+             last_values) = self.alg.collect(
+                self.ppo_state.params, self.env_state, self.obs, self.carry,
+                self.last_dones, k_roll)
+            self.ppo_state, metrics = self.alg.update(
+                self.ppo_state, traj, h0, last_values, k_up)
+            mean_rew = float(traj.rewards.mean())
+            history.append(mean_rew)
+            if it % 10 == 0 and log:
+                log(f"recurrent it {it} mean step rew {mean_rew:.4f} "
+                    f"vloss {float(metrics['value_loss']):.4f}")
+        return history

@@ -77,7 +77,7 @@ class Rollout:
         model = self.model
 
         def step_fn(carry, key_t):
-            env_state, obs, rew_sum, arm_rew_sum, ep_len, stats, nres = carry
+            env_state, obs, stats, nres = carry
             mean = model.apply(params, obs, hist_encoding, method="act_mean")
             std = params["params"]["std"]
             actions = ac_lib.normal_sample(key_t, mean, std)
@@ -106,27 +106,15 @@ class Rollout:
                 current_arm_dof_vel=extras.get(
                     "current_arm_dof_vel", jnp.zeros((env.num_envs, 6))),
             )
-            # episode bookkeeping (on_policy_runner.py:140-154)
-            rew_sum = rew_sum + out.rew
-            arm_rew_sum = arm_rew_sum + (arm_rew if arm_rew is not None
-                                         else jnp.zeros_like(out.rew))
-            ep_len = ep_len + 1.0
-            done_f = out.reset.astype(jnp.float32)
-            stats = {
-                "reward_sum": stats["reward_sum"] + jnp.sum(rew_sum * done_f),
-                "arm_reward_sum": stats["arm_reward_sum"] + jnp.sum(arm_rew_sum * done_f),
-                "len_sum": stats["len_sum"] + jnp.sum(ep_len * done_f),
-                **{k: stats[k] + v for k, v in out.episode_stats.items()},
-            }
+            # episode bookkeeping: the env reports TRUE episode
+            # reward/length sums at termination (reference rewbuffer/
+            # lenbuffer deques, on_policy_runner.py:140-154)
+            stats = dict(stats)
+            for k, v in out.episode_stats.items():
+                stats[k] = stats[k] + v
             nres = nres + out.num_resets
-            rew_sum = rew_sum * (1 - done_f)
-            arm_rew_sum = arm_rew_sum * (1 - done_f)
-            ep_len = ep_len * (1 - done_f)
-            return (env_state, out.obs, rew_sum, arm_rew_sum, ep_len, stats,
-                    nres), tr
+            return (env_state, out.obs, stats, nres), tr
 
-        N = env.num_envs
-        zeros = jnp.zeros((N,))
         arm_names = getattr(env, "arm_reward_names", [])
         metric_names = getattr(env, "metric_names", [])
         stat_keys = (["rew_" + k for k in list(env.reward_names) + list(arm_names)]
@@ -137,10 +125,9 @@ class Rollout:
         stats0.update(reward_sum=jnp.zeros(()), arm_reward_sum=jnp.zeros(()),
                       len_sum=jnp.zeros(()))
         keys = jax.random.split(key, self.num_steps)
-        carry0 = (env_state, obs, zeros, zeros, zeros, stats0, jnp.zeros((), jnp.int32))
-        carry, traj = jax.lax.scan(step_fn, carry0, keys)
-        env_state, obs = carry[0], carry[1]
-        stats, nres = carry[5], carry[6]
+        carry0 = (env_state, obs, stats0, jnp.zeros((), jnp.int32))
+        (env_state, obs, stats, nres), traj = jax.lax.scan(step_fn, carry0,
+                                                           keys)
         return env_state, obs, traj, stats, nres
 
     # -- learn --------------------------------------------------------
@@ -227,29 +214,55 @@ class OnPolicyRunner:
         params = self.model.init(k_init, dummy_obs)
         self.ppo_state = ppo_lib.init_state(cfg, params)
         self.rollout = Rollout(env, self.model, cfg, num_steps_per_env)
-        self.env_state, self.obs = env.reset(k_env)
-        # init_at_random_ep_len=True (reference train.py:51,
-        # on_policy_runner.py:102-104): desynchronize initial episode
-        # clocks so resets/timeouts spread over the rollout
-        self.env_state = self.env_state.replace(
-            episode_length=jax.random.randint(
-                jax.random.fold_in(k_env, 7), (env.num_envs,), 0,
-                int(env.max_episode_length), dtype=jnp.int32))
+
+        def build_state(build_env, k):
+            st, obs0 = build_env.reset(k)
+            # init_at_random_ep_len=True (reference train.py:51,
+            # on_policy_runner.py:102-104): desynchronize initial episode
+            # clocks so resets/timeouts spread over the rollout
+            st = st.replace(episode_length=jax.random.randint(
+                jax.random.fold_in(k, 7), (build_env.num_envs,), 0,
+                int(build_env.max_episode_length), dtype=jnp.int32))
+            return st, obs0
+
         # SPMD: shard the env batch over ('data',), replicate params
         # (parallel/mesh.py; XLA derives the psum reductions — SURVEY §2.5)
         self.mesh = mesh
-        if mesh is not None:
+        if mesh is not None and jax.process_count() > 1:
+            # true multi-host path (SURVEY §2.5.3): each host builds ONLY
+            # its env shard (global batch never materialized per host) and
+            # the shards assemble into global jax.Arrays. Terrain/model are
+            # identical everywhere (same cfg+seed); the reset RNG folds in
+            # the process index so env draws differ per shard. The state's
+            # (2,)-key leaf is "replicated" in sharding terms but
+            # deliberately divergent across hosts: it only ever seeds
+            # per-env draws of sharded arrays, never replicated compute.
+            local_n = dist.host_env_count(env.num_envs)
+            local_env = type(env)(env.cfg, num_envs=local_n, seed=seed)
+            l_state, l_obs = build_state(
+                local_env, jax.random.fold_in(k_env, jax.process_index()))
+            self.env_state = dist.make_global_array(l_state, mesh,
+                                                    env.num_envs)
+            self.obs = dist.make_global_array(l_obs, mesh, env.num_envs)
+            from ..parallel import mesh as mesh_lib
+            self.ppo_state = mesh_lib.replicate(self.ppo_state, mesh)
+        elif mesh is not None:
             from ..parallel import mesh as mesh_lib
 
+            self.env_state, self.obs = build_state(env, k_env)
             self.env_state = mesh_lib.shard_env_state(self.env_state, mesh,
                                                       env.num_envs)
             self.obs = jax.device_put(
                 self.obs, jax.sharding.NamedSharding(
                     mesh, jax.sharding.PartitionSpec("data")))
             self.ppo_state = mesh_lib.replicate(self.ppo_state, mesh)
+        else:
+            self.env_state, self.obs = build_state(env, k_env)
         self.it = 0
         self.tot_timesteps = 0
         self.tot_time = 0.0
+        self.last_collection_time = 0.0
+        self.last_learn_time = 0.0
         if self.log_dir and self.is_main:
             os.makedirs(self.log_dir, exist_ok=True)
             self._log_f = open(os.path.join(self.log_dir, "metrics.jsonl"),
@@ -282,6 +295,8 @@ class OnPolicyRunner:
 
             self.tot_timesteps += self.rollout.num_steps * env.num_envs
             self.tot_time += collection_time + learn_time
+            self.last_collection_time = collection_time
+            self.last_learn_time = learn_time
             self.it = it + 1
 
             if it % log_every == 0 or it == num_iterations - 1:
@@ -315,6 +330,9 @@ class OnPolicyRunner:
         for k, v in stats.items():
             if k.startswith(("rew_", "metric_")):
                 d["Episode/" + k] = float(v) / nres
+        if "terrain_level" in stats:  # per-step mean, not per-reset
+            d["Episode/terrain_level"] = (float(stats["terrain_level"])
+                                          / self.rollout.num_steps)
         line = (f"it {it:5d} | fps {fps:8d} | rew {d['Train/mean_reward']:.3f}"
                 f" | arm {d['Train/mean_arm_reward']:.3f}"
                 f" | len {d['Train/mean_episode_length']:.1f}"

@@ -60,3 +60,27 @@ def test_unroll_matches_stepwise():
         c, m, v = model.apply(params, c, obs_seq[t], dones[t], method="step")
         np.testing.assert_allclose(np.asarray(m), np.asarray(means[t]),
                                    atol=1e-6)
+
+
+def test_recurrent_training_improves_reward():
+    """End-to-end BPTT training (VERDICT r1 item 4): a small recurrent
+    policy on go1_flat improves reward over ~50 iterations (the masked-
+    scan equivalent of the reference's padded-trajectory recurrent
+    minibatches, rollout_storage.py:208-257)."""
+    from dwbc_tpu.envs import legged_config as lc
+    from dwbc_tpu.envs.legged_robot import LeggedRobotEnv
+    from dwbc_tpu.rl import ppo as ppo_lib
+    from dwbc_tpu.rl.recurrent import RecurrentRunner
+
+    env = LeggedRobotEnv(lc.go1_flat(), num_envs=8, seed=2)
+    cfg = ppo_lib.PPOConfig(
+        num_heads=1, use_dagger=False, use_roa=False,
+        num_learning_epochs=3, num_mini_batches=2,
+        entropy_coef=0.01, learning_rate=5e-4, schedule="adaptive",
+        desired_kl=0.01, min_policy_std=(0.0,) * 12)
+    runner = RecurrentRunner(env, cfg, num_steps_per_env=24, seed=1)
+    hist = runner.learn(50, log=None)
+    early = float(np.mean(hist[:5]))
+    late = float(np.mean(hist[-5:]))
+    assert np.isfinite(hist).all()
+    assert late > early, (early, late)

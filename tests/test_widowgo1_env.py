@@ -51,11 +51,18 @@ class TestObs:
                                    atol=1e-5)
 
     def test_history_contains_prop(self, env, stepped):
-        """obs = [prop, priv, history]; after >history_len steps, the last
-        history slot equals the previous prop."""
+        """obs = [prop, priv, history]; the obs history segment at step
+        t+1 ends with the prop emitted at step t (widowGo1.py:992-1001:
+        obs is assembled from the pre-roll history, then prop is pushed)."""
         state, out = stepped
-        hist = out.obs[:, 100:].reshape(8, 10, 76)
-        assert np.all(np.isfinite(np.asarray(hist)))
+        prop_t = np.asarray(out.obs[:, :76])
+        state2, out2 = env.step(state, jnp.zeros((8, 18)),
+                                jnp.asarray(3.0))
+        hist = np.asarray(out2.obs[:, 100:].reshape(8, 10, 76))
+        live = ~np.asarray(out2.reset)  # resets clear the history
+        assert live.any()
+        np.testing.assert_allclose(hist[live, -1], prop_t[live], atol=1e-5)
+        assert np.all(np.isfinite(hist))
 
 
 class TestCurriculum:
