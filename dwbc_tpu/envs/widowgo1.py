@@ -203,6 +203,7 @@ class WidowGo1Env:
         if use_pallas:
             from ..ops import pallas_substep as ps
             self._ps = ps
+            self._box_half_extents = (bs / 2,) * 3
             self.pallas_step = ps.make_pallas_step(
                 m, self.sim_params, self.hf, self.ctx,
                 np.asarray(self.feet_geoms),
@@ -212,7 +213,8 @@ class WidowGo1Env:
                     action_scale=tuple(np.asarray(self.action_scale)),
                     default_pos=tuple(np.asarray(self.default_dof_pos[:18])),
                     use_motor_strength=True, n_act=18),
-                n_substeps=cfg.control.decimation)
+                n_substeps=cfg.control.decimation,
+                box_half_extents=self._box_half_extents)
         self.box_fused_step = fused.make_fused_substep(
             self.box_model, self.sim_params, self.hf, self.box_ctx,
             np.zeros((0,), np.int32))
@@ -225,15 +227,6 @@ class WidowGo1Env:
         # reward bookkeeping names
         self.reward_names = [k for k, v in vars(cfg.rewards.scales).items() if v != 0]
         self.arm_reward_names = [k for k, v in vars(cfg.rewards.arm_scales).items() if v != 0]
-        # the pallas kernel does not yet report per-body contact forces;
-        # fall back to the XLA path when a feature consumes them
-        if self.pallas_step is not None and (
-                self.termination_bodies.shape[0]
-                or "collision" in self.reward_names):
-            import warnings
-            warnings.warn("DWBC_PALLAS disabled: body contact forces "
-                          "required by collision/termination features")
-            self.pallas_step = None
         self.metric_names = [
             "leg_energy_abs_sum", "tracking_lin_vel_x_l1",
             "tracking_ang_vel_yaw_exp", "tracking_ee_cart",
@@ -630,22 +623,21 @@ class WidowGo1Env:
         box_i_diag = jnp.stack([state.box_inert.inertia[:, 0, k, k]
                                 for k in range(3)], -1)
         if self.pallas_step is not None:
-            # pallas path: PD-only robot kernel; box falls back to the
-            # terrain-only fused step (no robot coupling in-kernel)
+            # pallas path: PD robot + box co-simulated IN-KERNEL with the
+            # same two-way coupling as the fused XLA path
             th, tn = self._ps.sample_terrain_cache(m, self.hf, state.robot.q)
-            q_n, qd_n, foot_k, tau_k, _ = self.pallas_step(
+            bh, bn = self._ps.sample_box_terrain_cache(
+                self.hf, state.box.q, self._box_half_extents)
+            q_n, qd_n, foot_k, tau_k, bodyf_k, bq_n, bqd_n = self.pallas_step(
                 state.robot.q, state.robot.qd, delayed[:, :18],
                 state.motor_strength, state.inert.mass, state.inert.com,
-                fric, th, tn)
+                fric, th, tn,
+                box_q=state.box.q, box_qd=state.box.qd,
+                box_mass=state.box_inert.mass[:, 0],
+                box_i_diag=box_i_diag, box_h=bh, box_n=bn)
             out = fused.FusedOut(q=q_n, qd=qd_n, foot_forces=foot_k,
-                                 body_forces=state.body_forces * 0.0,
-                                 torques=tau_k)
-            bout, _ = self.box_fused_step(
-                state.box.q, state.box.qd,
-                lambda c, a, b: (c, jnp.zeros((N, 0))),
-                state.box_inert.mass, state.box_inert.com,
-                state.box_inert.inertia, fric, cfg.control.decimation)
-            box = engine.BodyState(q=bout.q, qd=bout.qd)
+                                 body_forces=bodyf_k, torques=tau_k)
+            box = engine.BodyState(q=bq_n, qd=bqd_n)
         else:
             def tau_fn(carry, q_arr, qd_arr):
                 return carry, self._pd_torques(

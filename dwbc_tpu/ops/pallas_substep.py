@@ -45,9 +45,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.model import RobotModel
 from ..sim.engine import PhysCtx, SimParams
 from ..sim.fused import (axis_angle_m, cross_force6, cross_motion6,
-                         ldl_solve6, m6add, m6vec, mmul, mtvec, mvec, outer6,
-                         quat_to_m, transform_abi, vadd, vcross, vdot, vscale,
-                         vsub)
+                         integrate_quat, ldl_solve6, m6add, m6vec, mmul,
+                         mmul_t, mtvec, mvec, outer6, quat_to_m, solve3,
+                         transform_abi, vadd, vcross, vdot, vscale, vsub)
 from ..terrain.terrain import Heightfield
 
 # env tile per block: (8, 128*E). Measured on v5e @4096 envs: E=1 13.6ms
@@ -76,10 +76,17 @@ def _round_up(n: int, m: int) -> int:
 
 def make_pallas_step(model: RobotModel, params: SimParams, hf: Heightfield,
                      ctx: PhysCtx, foot_geoms: np.ndarray, pd: PDParams,
-                     n_substeps: int, interpret: bool = False):
-    """Build step(q, qd, actions, motor_strength, mass, com, friction)
-    -> (q, qd, foot_forces (N, nf, 3), torques (N, nj),
-        body_forces (N, nb, 3)).
+                     n_substeps: int, interpret: bool = False,
+                     box_half_extents=None):
+    """Build step(q, qd, actions, motor_strength, mass, com, friction,
+    terrain_h, terrain_n[, box_q, box_qd, box_mass, box_i_diag, box_h,
+    box_n]) -> (q, qd, foot_forces (N, nf, 3), torques (N, nj),
+        body_forces (N, nb, 3)[, box_q, box_qd]).
+
+    With box_half_extents, the widowGo1 box actor is co-simulated INSIDE
+    the kernel with the same two-way coupling as sim/fused.py:494-557:
+    robot spheres vs box OBB (reaction wrench on the box), box corners vs
+    terrain, Newton-Euler box integration — per-substep, in VMEM.
 
     Inertia tensors about the COM are baked as constants (domain
     randomization touches masses and COMs only — widowGo1.py:431-466)."""
@@ -119,6 +126,15 @@ def make_pallas_step(model: RobotModel, params: SimParams, hf: Heightfield,
     cp = params.contact
     na = pd.n_act
 
+    with_box = box_half_extents is not None
+    if with_box:
+        bhe = tuple(float(h) for h in box_half_extents)
+        box_r = 0.5 * min(bhe)
+        box_corners = [
+            (sx * (bhe[0] - box_r), sy * (bhe[1] - box_r),
+             sz * (bhe[2] - box_r))
+            for sx in (-1.0, 1.0) for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)]
+
     # ---- packed row layout ------------------------------------------------
     # inputs
     o = {}
@@ -136,6 +152,13 @@ def make_pallas_step(model: RobotModel, params: SimParams, hf: Heightfield,
     _alloc("fric", 1)
     _alloc("h", ng)
     _alloc("nrm", 3 * ng)
+    if with_box:
+        _alloc("bq", 7)
+        _alloc("bqd", 6)
+        _alloc("bmass", 1)
+        _alloc("bidiag", 3)
+        _alloc("bh", 8)        # terrain height under each box corner
+        _alloc("bn", 24)       # terrain normal under each box corner
     K_IN = k
     # outputs
     po = {}
@@ -149,6 +172,9 @@ def make_pallas_step(model: RobotModel, params: SimParams, hf: Heightfield,
     _oalloc("tau", nj)
     _oalloc("foot", 3 * nf)
     _oalloc("bodyf", 3 * nb)
+    if with_box:
+        _oalloc("bq", 7)
+        _oalloc("bqd", 6)
     K_OUT = k
 
     def kernel(x_ref, y_ref):
@@ -174,6 +200,19 @@ def make_pallas_step(model: RobotModel, params: SimParams, hf: Heightfield,
         h_g = [row("h", g) for g in range(ng)]
         n_g = [tuple(row("nrm", 3 * g + i) for i in range(3))
                for g in range(ng)]
+        if with_box:
+            bx0 = dict(
+                pos=tuple(row("bq", i) for i in range(3)),
+                quat=tuple(row("bq", 3 + i) for i in range(4)),
+                lin=tuple(row("bqd", i) for i in range(3)),
+                ang=tuple(row("bqd", 3 + i) for i in range(3)),
+                mass=row("bmass"),
+                i_diag=tuple(row("bidiag", i) for i in range(3)))
+            bh_c = [row("bh", c) for c in range(8)]
+            bn_c = [tuple(row("bn", 3 * c + i) for i in range(3))
+                    for c in range(8)]
+        else:
+            bx0 = None
 
         # scaled PD targets are substep-invariant
         target = [act[j] * ms[j] * pd.action_scale[j] + pd.default_pos[j]
@@ -190,7 +229,7 @@ def make_pallas_step(model: RobotModel, params: SimParams, hf: Heightfield,
                     taus.append(jnp.zeros_like(q["joints"][j]))
             return taus
 
-        def substep(q, qd, tau):
+        def substep(q, qd, tau, bx):
             # ---------------- FK ----------------
             R = [None] * nb
             p = [None] * nb
@@ -242,6 +281,13 @@ def make_pallas_step(model: RobotModel, params: SimParams, hf: Heightfield,
                         a = active[g].astype(jnp.float32)
                         c = a if c is None else c + a
                     count_b[b] = jnp.maximum(c, 1.0)
+            if bx is not None:
+                Rb = quat_to_m(bx["quat"])
+                pb = bx["pos"]
+                vbl, wb = bx["lin"], bx["ang"]
+                m_box = bx["mass"]
+                box_F = (0.0, 0.0, 0.0)
+                box_N = (0.0, 0.0, 0.0)
             for g in range(ng):
                 b = geom_body[g]
                 r_w = mvec(R[b], geom_pos[g])
@@ -265,6 +311,68 @@ def make_pallas_step(model: RobotModel, params: SimParams, hf: Heightfield,
                     jnp.where(active[g],
                               fn * nrm[kk] - vt[kk] / vt_norm * ft_mag, 0.0)
                     for kk in range(3))
+                if bx is not None:
+                    # robot sphere vs box OBB, two-way (fused.py:494-530)
+                    d_loc = mtvec(Rb, vsub(gp, pb))
+                    cl = tuple(jnp.clip(d_loc[kk], -bhe[kk], bhe[kk])
+                               for kk in range(3))
+                    delta = vsub(d_loc, cl)
+                    dist = jnp.sqrt(vdot(delta, delta) + 1e-12)
+                    n_w = mvec(Rb, vscale(delta, 1.0 / dist))
+                    phi_b = dist - geom_radius[g]
+                    act_b = (phi_b < 0.0) & (dist > 1e-5)
+                    cpt = vadd(pb, mvec(Rb, cl))
+                    r_box = vsub(cpt, pb)
+                    v_cp = vadd(vbl, vcross(wb, r_box))
+                    vr = vsub(gv, v_cp)
+                    vn_b = vdot(vr, n_w)
+                    m_eff = 1.0 / (1.0 / m_share + 1.0 / m_box)
+                    acc_b = (-vn_b) / dt + cp.baumgarte * jnp.maximum(
+                        -phi_b - cp.slop, 0.0) / (dt * dt)
+                    fn_b = jnp.where(
+                        act_b, jnp.clip(m_eff * acc_b, 0.0, cp.fn_max), 0.0)
+                    vt_b = vsub(vr, vscale(n_w, vn_b))
+                    vtn_b = jnp.sqrt(vdot(vt_b, vt_b) + cp.vel_eps ** 2)
+                    ft_b = jnp.minimum(fric * fn_b, m_eff * vtn_b / dt)
+                    F_g = tuple(jnp.where(
+                        act_b, fn_b * n_w[kk] - vt_b[kk] / vtn_b * ft_b, 0.0)
+                        for kk in range(3))
+                    gF[g] = vadd(gF[g], F_g)
+                    box_F = vsub(box_F, F_g)
+                    box_N = vsub(box_N, vcross(r_box, F_g))
+
+            if bx is not None:
+                # box corners vs terrain (fused.py:532-557), unrolled;
+                # shared mass divides by the active-corner count
+                cnt_c = None
+                for c in range(8):
+                    rc = mvec(Rb, box_corners[c])
+                    cw = vadd(pb, rc)
+                    a = ((cw[2] - bh_c[c]) * bn_c[c][2] - box_r
+                         < 0.0).astype(jnp.float32)
+                    cnt_c = a if cnt_c is None else cnt_c + a
+                cnt_c = jnp.maximum(cnt_c, 1.0)
+                m_sh = m_box / cnt_c
+                for c in range(8):
+                    rc = mvec(Rb, box_corners[c])
+                    cw = vadd(pb, rc)
+                    vc = vadd(vbl, vcross(wb, rc))
+                    nrm_c = bn_c[c]
+                    phi_c = (cw[2] - bh_c[c]) * nrm_c[2] - box_r
+                    act_c = phi_c < 0.0
+                    vn_c = vdot(vc, nrm_c)
+                    acc_c = (-vn_c) / dt + cp.baumgarte * jnp.maximum(
+                        -phi_c - cp.slop, 0.0) / (dt * dt)
+                    fn_c = jnp.where(
+                        act_c, jnp.clip(m_sh * acc_c, 0.0, cp.fn_max), 0.0)
+                    vt_c = vsub(vc, vscale(nrm_c, vn_c))
+                    vtn_c = jnp.sqrt(vdot(vt_c, vt_c) + cp.vel_eps ** 2)
+                    ft_c = jnp.minimum(fric * fn_c, m_sh * vtn_c / dt)
+                    F_c = tuple(jnp.where(
+                        act_c, fn_c * nrm_c[kk] - vt_c[kk] / vtn_c * ft_c,
+                        0.0) for kk in range(3))
+                    box_F = vadd(box_F, F_c)
+                    box_N = vadd(box_N, vcross(rc, F_c))
 
             f_ext = [None] * nb
             for b in range(nb):
@@ -411,16 +519,36 @@ def make_pallas_step(model: RobotModel, params: SimParams, hf: Heightfield,
                                 + nw * nw + 1e-12)
             quat = (nx * inv, ny * inv, nzq * inv, nw * inv)
             joints = [q["joints"][j] + dt * joints_v[j] for j in range(nj)]
+
+            bx_new = bx
+            if bx is not None:
+                # Newton-Euler box integration (fused.py:708-726)
+                i_d = bx["i_diag"]
+                RbI = tuple(tuple(Rb[i][j] * i_d[j] for j in range(3))
+                            for i in range(3))
+                I_w = mmul_t(RbI, Rb)
+                gyro = vcross(wb, mvec(I_w, wb))
+                wd = solve3(I_w, vsub(box_N, gyro))
+                lin_acc = vadd(gvec, vscale(box_F, 1.0 / m_box))
+                b_lin = tuple(jnp.clip(v_, -mv_c, mv_c)
+                              for v_ in vadd(vbl, vscale(lin_acc, dt)))
+                b_ang = tuple(jnp.clip(v_, -mv_c, mv_c)
+                              for v_ in vadd(wb, vscale(wd, dt)))
+                bx_new = dict(
+                    pos=vadd(pb, vscale(b_lin, dt)),
+                    quat=integrate_quat(bx["quat"], b_ang, dt),
+                    lin=b_lin, ang=b_ang, mass=m_box, i_diag=i_d)
+
             return (dict(pos=pos, quat=quat, joints=joints),
-                    dict(lin=lin, ang=ang, joints=joints_v), gF, tau)
+                    dict(lin=lin, ang=ang, joints=joints_v), gF, tau, bx_new)
 
         # substep loop: python unroll (n_substeps is 4; fori_loop carry of
         # hundreds of tiles trips Mosaic's loop-carried layout assignment)
-        q, qd = q0, qd0
+        q, qd, bx = q0, qd0, bx0
         gF = tau_last = None
         for _ in range(n_substeps):
             tau = pd_tau(q, qd)
-            q, qd, gF, tau_last = substep(q, qd, tau)
+            q, qd, gF, tau_last, bx = substep(q, qd, tau, bx)
 
         def wout(name, i, val):
             y_ref[po[name] + i, 0] = val
@@ -451,13 +579,23 @@ def make_pallas_step(model: RobotModel, params: SimParams, hf: Heightfield,
             else:
                 for i in range(3):
                     wout("bodyf", 3 * b + i, 0.0 * q["pos"][0])
+        if with_box:
+            for i in range(3):
+                wout("bq", i, bx["pos"][i])
+            for i in range(4):
+                wout("bq", 3 + i, bx["quat"][i])
+            for i in range(3):
+                wout("bqd", i, bx["lin"][i])
+                wout("bqd", 3 + i, bx["ang"][i])
 
     @functools.partial(jax.jit, static_argnames=())
     def step(q, qd, actions, motor_strength, mass, com, friction,
-             terrain_h, terrain_n):
+             terrain_h, terrain_n, box_q=None, box_qd=None, box_mass=None,
+             box_i_diag=None, box_h=None, box_n=None):
         """All inputs (N, ...); N padded to a multiple of 1024 by edge
         replication. terrain_h (N, ng), terrain_n (N, ng, 3) come from the
-        per-policy-step terrain cache."""
+        per-policy-step terrain cache; box_h (N, 8), box_n (N, 8, 3) from
+        sample_box_terrain_cache."""
         N = q.shape[0]
         Np = _round_up(N, TILE_N)
         T = Np // TILE_N
@@ -473,9 +611,12 @@ def make_pallas_step(model: RobotModel, params: SimParams, hf: Heightfield,
             return flat.T.reshape(K_IN, T, TILE[0], TILE[1])
 
         ms_in = ((motor_strength,) if pd.use_motor_strength else ())
+        box_in = ((box_q, box_qd, box_mass.reshape(N, 1),
+                   box_i_diag, box_h, box_n.reshape(N, -1))
+                  if with_box else ())
         x = pack_rows(q, qd, actions, *ms_in, mass, com.reshape(N, -1),
                       friction.reshape(N, 1), terrain_h,
-                      terrain_n.reshape(N, -1))
+                      terrain_n.reshape(N, -1), *box_in)
 
         y = pl.pallas_call(
             kernel,
@@ -499,6 +640,10 @@ def make_pallas_step(model: RobotModel, params: SimParams, hf: Heightfield,
         tau = flat[:, po["tau"]:po["tau"] + nj]
         foot = flat[:, po["foot"]:po["foot"] + 3 * nf].reshape(N, nf, 3)
         bodyf = flat[:, po["bodyf"]:po["bodyf"] + 3 * nb].reshape(N, nb, 3)
+        if with_box:
+            bq_out = flat[:, po["bq"]:po["bq"] + 7]
+            bqd_out = flat[:, po["bqd"]:po["bqd"] + 6]
+            return q_out, qd_out, foot, tau, bodyf, bq_out, bqd_out
         return q_out, qd_out, foot, tau, bodyf
 
     return step
@@ -508,6 +653,25 @@ def _default_inertia_const(model: RobotModel):
     from ..sim import dynamics
 
     return np.asarray(dynamics.default_inertial(model).inertia)
+
+
+def sample_box_terrain_cache(hf: Heightfield, box_q: jax.Array,
+                             box_half_extents):
+    """Terrain heights+normals under the box's 8 corners — (N, 8) and
+    (N, 8, 3), once per policy step (matches fused.sample_box_terrain)."""
+    from ..core import maths
+
+    bhe = tuple(float(h) for h in box_half_extents)
+    box_r = 0.5 * min(bhe)
+    corners = jnp.asarray(
+        [[sx * (bhe[0] - box_r), sy * (bhe[1] - box_r), sz * (bhe[2] - box_r)]
+         for sx in (-1.0, 1.0) for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)],
+        jnp.float32)                                   # (8, 3)
+    cw = (box_q[:, None, 0:3]
+          + maths.quat_rotate(box_q[:, None, 3:7], corners[None]))
+    h, n = hf.sample_with_normal(cw[..., 0], cw[..., 1])
+    n_arr = jnp.stack(list(n), axis=-1)                # (N, 8, 3)
+    return h, n_arr
 
 
 def sample_terrain_cache(model: RobotModel, hf: Heightfield, q: jax.Array):

@@ -31,6 +31,7 @@ counter.
 
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Optional
 
@@ -39,6 +40,29 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 _initialized = False
+
+
+def cpu_device():
+    """The host CPU device, or None if the CPU backend is unavailable
+    (requires 'cpu' in jax_platforms — see runner/train.py)."""
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return None
+
+
+def host_build():
+    """Context manager: run eager array construction on the host CPU.
+
+    Remote-attached accelerators (e.g. a tunneled TPU) pay an RPC
+    round-trip + tiny-executable compile for EVERY eager op; env/state
+    construction issues hundreds of unique tiny ops, which turns a
+    seconds-long build into tens of minutes. Building on the CPU backend
+    and bulk-transferring the finished state pytree (one fast DMA) keeps
+    the accelerator for what it is good at: the big jitted graphs."""
+    dev = cpu_device()
+    return (jax.default_device(dev) if dev is not None
+            else contextlib.nullcontext())
 
 
 def initialize(coordinator_address: Optional[str] = None,

@@ -34,6 +34,9 @@ class Rollout:
 
     def __init__(self, env, model: ac_lib.ActorCritic, cfg: ppo_lib.PPOConfig,
                  num_steps: int = 40):
+        from ..envs.vec_env import VecEnv
+        assert isinstance(env, VecEnv), (
+            "env must satisfy the VecEnv protocol (envs/vec_env.py)")
         self.env = env
         self.model = model
         self.cfg = cfg
@@ -208,12 +211,13 @@ class OnPolicyRunner:
             from ..models.mlp_actor_critic import MlpActorCritic
             self.model = MlpActorCritic(num_obs=env.num_obs,
                                         num_actions=env.num_actions)
-        key = jax.random.PRNGKey(seed)
-        self.key, k_init, k_env = jax.random.split(key, 3)
-        dummy_obs = jnp.zeros((1, env.num_obs))
-        params = self.model.init(k_init, dummy_obs)
-        self.ppo_state = ppo_lib.init_state(cfg, params)
-        self.rollout = Rollout(env, self.model, cfg, num_steps_per_env)
+        with dist.host_build():
+            key = jax.random.PRNGKey(seed)
+            self.key, k_init, k_env = jax.random.split(key, 3)
+            dummy_obs = jnp.zeros((1, env.num_obs))
+            params = self.model.init(k_init, dummy_obs)
+            self.ppo_state = ppo_lib.init_state(cfg, params)
+            self.rollout = Rollout(env, self.model, cfg, num_steps_per_env)
 
         def build_state(build_env, k):
             st, obs0 = build_env.reset(k)
@@ -238,9 +242,10 @@ class OnPolicyRunner:
             # deliberately divergent across hosts: it only ever seeds
             # per-env draws of sharded arrays, never replicated compute.
             local_n = dist.host_env_count(env.num_envs)
-            local_env = type(env)(env.cfg, num_envs=local_n, seed=seed)
-            l_state, l_obs = build_state(
-                local_env, jax.random.fold_in(k_env, jax.process_index()))
+            with dist.host_build():
+                local_env = type(env)(env.cfg, num_envs=local_n, seed=seed)
+                l_state, l_obs = build_state(
+                    local_env, jax.random.fold_in(k_env, jax.process_index()))
             self.env_state = dist.make_global_array(l_state, mesh,
                                                     env.num_envs)
             self.obs = dist.make_global_array(l_obs, mesh, env.num_envs)
@@ -249,7 +254,8 @@ class OnPolicyRunner:
         elif mesh is not None:
             from ..parallel import mesh as mesh_lib
 
-            self.env_state, self.obs = build_state(env, k_env)
+            with dist.host_build():
+                self.env_state, self.obs = build_state(env, k_env)
             self.env_state = mesh_lib.shard_env_state(self.env_state, mesh,
                                                       env.num_envs)
             self.obs = jax.device_put(
@@ -257,7 +263,17 @@ class OnPolicyRunner:
                     mesh, jax.sharding.PartitionSpec("data")))
             self.ppo_state = mesh_lib.replicate(self.ppo_state, mesh)
         else:
-            self.env_state, self.obs = build_state(env, k_env)
+            with dist.host_build():
+                self.env_state, self.obs = build_state(env, k_env)
+            # bulk transfer host-built state to the accelerator (a single
+            # fast DMA per leaf, vs hundreds of slow eager dispatches if
+            # built there directly — see dist.host_build)
+            dev = jax.devices()[0]
+            if dev.platform != "cpu":
+                self.env_state, self.obs, self.ppo_state, self.key = (
+                    jax.device_put(
+                        (self.env_state, self.obs, self.ppo_state, self.key),
+                        dev))
         self.it = 0
         self.tot_timesteps = 0
         self.tot_time = 0.0

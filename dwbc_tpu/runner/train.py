@@ -31,15 +31,30 @@ def main():
     ap.add_argument("--mesh", default="auto", choices=["auto", "none"],
                     help="'auto': shard envs over all devices/hosts of the "
                          "job; 'none': single-device")
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler trace of iterations 5-8 "
+                         "into <log_dir>/profile")
     ap.add_argument("--terminal_schedules", action="store_true",
                     help="force all curricula/regularizer schedules to their "
                          "terminal values (the reference's RESUME=True "
                          "semantics, widowGo1_config.py:35)")
     args = ap.parse_args()
 
+    import jax
     if args.cpu:
-        import jax
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # keep the CPU backend available alongside the accelerator so
+        # env/state construction can run on-host (dist.host_build); the
+        # accelerator stays first = default backend
+        cur = jax.config.jax_platforms
+        if cur and "cpu" not in cur.split(","):
+            jax.config.update("jax_platforms", cur + ",cpu")
+    # persistent compile cache: the fused-physics graphs are large and a
+    # tunneled-TPU compile round-trip is expensive
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/dwbc_jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     from ..parallel import distributed as dist
     from ..utils.task_registry import TASKS, make_runner
@@ -73,7 +88,17 @@ def main():
         log_files(log_dir)  # source snapshot (reference logger.py:39-58)
     print(f"task={args.task} num_envs={env.num_envs} "
           f"steps/env={spec.num_steps_per_env} log_dir={log_dir}", flush=True)
-    runner.learn(args.max_iterations, log_every=args.log_every)
+    if args.profile:
+        import jax
+
+        runner.learn(5, log_every=args.log_every)
+        jax.profiler.start_trace(os.path.join(log_dir, "profile"))
+        runner.learn(3, log_every=1)
+        jax.profiler.stop_trace()
+        runner.learn(max(args.max_iterations - 8, 0),
+                     log_every=args.log_every)
+    else:
+        runner.learn(args.max_iterations, log_every=args.log_every)
 
 
 def _latest_checkpoint(exp_dir: str) -> str:

@@ -171,6 +171,9 @@ class PerlinTerrainCfg:
     tot_rows: int = 10000  # y extent in cells
     z_scale: float = 0.15
     wall_height: float = 100000.0
+    # int16 height quantization step (reference terrain.py:51 converts the
+    # float field to int16 samples of vertical_scale metres)
+    vertical_scale: float = 0.005
     seed: int = 0
 
 
@@ -193,6 +196,10 @@ def perlin_terrain(cfg: PerlinTerrainCfg) -> Heightfield:
         h = h.astype(np.float64)
     # wall fencing trick (reference terrain.py:49)
     h[cfg.tot_cols // 2 - 100:, :] += cfg.wall_height
+    # int16 quantization parity (reference terrain.py:51): heights snap to
+    # vertical_scale steps — the surface PhysX actually collides with
+    if cfg.vertical_scale > 0:
+        h = np.round(h / cfg.vertical_scale) * cfg.vertical_scale
     # center the mesh like the reference trimesh transform
     # (widowGo1_config.py:299-301)
     origin = (
@@ -224,6 +231,11 @@ class GridTerrainCfg:
     terrain_proportions: Tuple[float, ...] = (0.1, 0.1, 0.35, 0.25, 0.2)
     curriculum: bool = True
     slope_threshold: float = 0.75
+    # 'selected' mode (reference terrain.py:124-129 + selected_terrain):
+    # every cell gets the named subterrain with these kwargs
+    selected: "str | None" = None   # pyramid_slope|rough|pyramid_stairs|
+    #                                 discrete_obstacles|stepping_stones|gap|pit
+    selected_kwargs: dict = dataclasses.field(default_factory=dict)
     seed: int = 0
 
 
@@ -362,6 +374,30 @@ def _make_subterrain(rng, n, cfg: GridTerrainCfg, choice: float, difficulty: flo
     return h
 
 
+def _selected_subterrain(rng, n, cfg: GridTerrainCfg):
+    """Reference selected_terrain: one named subterrain type for every
+    cell, parameterized by cfg.selected_kwargs."""
+    cell = cfg.horizontal_scale
+    h = np.zeros((n, n), np.float64)
+    kw = dict(cfg.selected_kwargs)
+    name = cfg.selected
+    if name == "pyramid_slope":
+        return _pyramid_slope(h, cell, cfg.vertical_scale, **kw)
+    if name == "rough":
+        return _rough(rng, h, cell, **kw)
+    if name == "pyramid_stairs":
+        return _pyramid_stairs(h, cell, **kw)
+    if name == "discrete_obstacles":
+        return _discrete_obstacles(rng, h, cell, **kw)
+    if name == "stepping_stones":
+        return _stepping_stones(rng, h, cell, **kw)
+    if name == "gap":
+        return _gap(h, cell, **kw)
+    if name == "pit":
+        return _pit(h, cell, **kw)
+    raise ValueError(f"unknown selected terrain {name!r}")
+
+
 def grid_terrain(cfg: GridTerrainCfg) -> GridTerrain:
     rng = np.random.default_rng(cfg.seed)
     n = int(cfg.terrain_width / cfg.horizontal_scale)
@@ -372,13 +408,16 @@ def grid_terrain(cfg: GridTerrainCfg) -> GridTerrain:
     origins = np.zeros((cfg.num_rows, cfg.num_cols, 3))
     for i in range(cfg.num_rows):
         for j in range(cfg.num_cols):
-            if cfg.curriculum:
+            if cfg.selected:
+                sub = _selected_subterrain(rng, n, cfg)
+            elif cfg.curriculum:
                 difficulty = i / cfg.num_rows
                 choice = j / cfg.num_cols + 0.001
+                sub = _make_subterrain(rng, n, cfg, choice, difficulty)
             else:
                 difficulty = rng.choice([0.5, 0.75, 0.9])
                 choice = rng.uniform(0, 1)
-            sub = _make_subterrain(rng, n, cfg, choice, difficulty)
+                sub = _make_subterrain(rng, n, cfg, choice, difficulty)
             x0 = border + i * n
             y0 = border + j * n
             field[x0:x0 + n, y0:y0 + n] = sub
@@ -391,6 +430,10 @@ def grid_terrain(cfg: GridTerrainCfg) -> GridTerrain:
                 (j + 0.5) * cfg.terrain_width,
                 z,
             ]
+    # int16 quantization parity (reference keeps height_field_raw as int16
+    # samples of vertical_scale metres, terrain.py:133)
+    if cfg.vertical_scale > 0:
+        field = np.round(field / cfg.vertical_scale) * cfg.vertical_scale
     hf = Heightfield(
         height=jnp.asarray(field, jnp.float32),
         cell=cfg.horizontal_scale,
@@ -399,12 +442,47 @@ def grid_terrain(cfg: GridTerrainCfg) -> GridTerrain:
     return GridTerrain(hf=hf, env_origins=origins, length=cfg.terrain_length)
 
 
-def heightfield_to_trimesh(hf: Heightfield):
+def heightfield_to_trimesh(hf: Heightfield, slope_threshold=None):
     """(vertices, triangles) export of a heightfield — parity with the
     external isaacgym.terrain_utils.convert_heightfield_to_trimesh the
     reference consumes (terrain.py:57-60). Used by the offline visualizer
-    and deployment-mesh export; native C++ when built."""
+    and deployment-mesh export; native C++ when built.
+
+    With slope_threshold (the reference passes cfg.slope_treshold), the
+    walkable-surface correction is applied: vertices on slopes steeper
+    than the threshold shift horizontally so steep faces become
+    near-vertical walls (stairs stay stairs instead of ramps). Collision
+    in this engine samples the heightfield bilinearly, so the correction
+    affects exported meshes only — a documented divergence from PhysX,
+    which collides the corrected trimesh."""
     from .. import native
 
-    return native.heightfield_to_trimesh(np.asarray(hf.height), hf.cell,
-                                         hf.origin)
+    if slope_threshold is None:
+        return native.heightfield_to_trimesh(np.asarray(hf.height), hf.cell,
+                                             hf.origin)
+    h = np.asarray(hf.height, np.float64)
+    H, W = h.shape
+    cell = hf.cell
+    thr = slope_threshold * cell
+    move_x = np.zeros((H, W))
+    move_y = np.zeros((H, W))
+    move_c = np.zeros((H, W))
+    move_x[:H - 1, :] += (h[1:, :] - h[:-1, :] > thr)
+    move_x[1:, :] -= (h[:-1, :] - h[1:, :] > thr)
+    move_y[:, :W - 1] += (h[:, 1:] - h[:, :-1] > thr)
+    move_y[:, 1:] -= (h[:, :-1] - h[:, 1:] > thr)
+    move_c[:H - 1, :W - 1] += (h[1:, 1:] - h[:-1, :-1] > thr)
+    move_c[1:, 1:] -= (h[:-1, :-1] - h[1:, 1:] > thr)
+    ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    xs = hf.origin[0] + (ii + move_x + move_c * (move_x == 0)) * cell
+    ys = hf.origin[1] + (jj + move_y + move_c * (move_y == 0)) * cell
+    verts = np.stack([xs.ravel(), ys.ravel(), h.ravel()], -1)
+    tris = []
+    for i in range(H - 1):
+        base = i * W
+        for j in range(W - 1):
+            v0, v1, v2, v3 = (base + j, base + j + 1,
+                              base + W + j, base + W + j + 1)
+            tris.append([v0, v3, v1])
+            tris.append([v0, v2, v3])
+    return verts.astype(np.float32), np.asarray(tris, np.uint32)

@@ -88,8 +88,13 @@ TASKS: Dict[str, TaskSpec] = {
 
 
 def make_env(task: str, num_envs=None, seed: int = 1):
+    from ..parallel import distributed as dist
     spec = TASKS[task]
-    return spec.make_env(num_envs or spec.default_num_envs, seed), spec
+    # env construction is eager array work -> build on the host CPU
+    # backend (see parallel/distributed.host_build)
+    with dist.host_build():
+        env = spec.make_env(num_envs or spec.default_num_envs, seed)
+    return env, spec
 
 
 def make_runner(task: str, num_envs=None, seed: int = 1, log_dir=None,

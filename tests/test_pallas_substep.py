@@ -94,3 +94,72 @@ def test_kernel_matches_fused_path(setup):
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(foot), np.asarray(ref.foot_forces),
                                rtol=2e-2, atol=5e-2)
+
+
+def test_widow_box_kernel_matches_fused():
+    """Box-coupled widowGo1 kernel vs the fused XLA path: robot + box
+    co-simulated with two-way contact (fused.py:494-557 in-kernel)."""
+    import dataclasses
+
+    from dwbc_tpu.envs.config import TerrainCfg, WidowGo1Cfg
+    from dwbc_tpu.envs.widowgo1 import WidowGo1Env
+
+    cfg = dataclasses.replace(WidowGo1Cfg(),
+                              terrain=TerrainCfg(mesh_type="plane"))
+    env = WidowGo1Env(cfg, num_envs=4, seed=3)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    m = env.model
+    N = 4
+    q, qd = state.robot.q, state.robot.qd
+    # place the box overlapping the robot trunk to force robot-box contact
+    box_q = state.box.q
+    box_q = box_q.at[:, 0:3].set(q[:, 0:3] + jnp.asarray([0.25, 0.0, 0.05]))
+    box_qd = jnp.zeros((N, 6)).at[:, 0].set(-0.5)  # moving into the robot
+    actions = 0.2 * jax.random.normal(jax.random.PRNGKey(1), (N, 18))
+    ms = jnp.ones((N, 18))
+    fric = jnp.ones((N,))
+    box_i_diag = jnp.stack([state.box_inert.inertia[:, 0, k, k]
+                            for k in range(3)], -1)
+    n_sub = 4
+
+    def tau_fn(carry, q_arr, qd_arr):
+        return carry, env._pd_torques(actions, q_arr[:, 7:7 + 18],
+                                      qd_arr[:, 6:6 + 18], ms)
+
+    ref, _, bq_ref, bqd_ref = env.fused_step(
+        q, qd, tau_fn, state.inert.mass, state.inert.com,
+        state.inert.inertia, fric, n_sub,
+        box_q=box_q, box_qd=box_qd, box_mass=state.box_inert.mass[:, 0],
+        box_i_diag=box_i_diag)
+
+    pd = ps.PDParams(
+        p_gains=tuple(np.asarray(env.p_gains)),
+        d_gains=tuple(np.asarray(env.d_gains)),
+        action_scale=tuple(np.asarray(env.action_scale)),
+        default_pos=tuple(np.asarray(env.default_dof_pos[:18])),
+        use_motor_strength=True, n_act=18)
+    bhe = (cfg.box.box_size / 2,) * 3
+    kstep = ps.make_pallas_step(m, env.sim_params, env.hf, env.ctx,
+                                np.asarray(env.feet_geoms), pd,
+                                n_substeps=n_sub, box_half_extents=bhe)
+    th, tn = ps.sample_terrain_cache(m, env.hf, q)
+    bh, bn = ps.sample_box_terrain_cache(env.hf, box_q, bhe)
+    q2, qd2, foot, tau, bodyf, bq2, bqd2 = kstep(
+        q, qd, actions, ms, state.inert.mass, state.inert.com, fric, th, tn,
+        box_q=box_q, box_qd=box_qd, box_mass=state.box_inert.mass[:, 0],
+        box_i_diag=box_i_diag, box_h=bh, box_n=bn)
+
+    # the box must actually couple: nonzero relative change vs free fall
+    assert float(jnp.abs(bqd2[:, 0] - box_qd[:, 0]).max()) > 1e-4
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(ref.q),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(qd2), np.asarray(ref.qd),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(bq2), np.asarray(bq_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(bqd2), np.asarray(bqd_ref),
+                               rtol=2e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(foot), np.asarray(ref.foot_forces),
+                               rtol=2e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(bodyf), np.asarray(ref.body_forces),
+                               rtol=2e-2, atol=5e-2)
