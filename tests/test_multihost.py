@@ -51,12 +51,13 @@ print("MULTIHOST_OK", pid, float(np.abs(leaf).sum()), flush=True)
 """
 
 
-@pytest.mark.timeout(1200)
 def test_two_process_training(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen([sys.executable, str(script), str(i), "29731"],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,

@@ -145,3 +145,48 @@ class TestReset:
         # reset envs stand upright again
         w = np.asarray(state.robot.q[reset_ids, 6])
         assert (np.abs(w) > 0.98).all()
+
+
+class TestFullRewardSurface:
+    def test_every_reference_scale_enables(self):
+        """VERDICT r1 item 6: every reward scale in the reference config
+        (widowGo1_config.py:231-266, including the base legged_robot terms
+        reachable through reflection) can be made nonzero without code
+        changes, and the env still produces finite dual rewards."""
+        from dwbc_tpu.envs.config import (ArmRewardScalesCfg, RewardScalesCfg,
+                                          RewardsCfg)
+
+        scales = RewardScalesCfg(**{
+            f.name: 0.01 for f in dataclasses.fields(RewardScalesCfg)})
+        arm_scales = ArmRewardScalesCfg(**{
+            f.name: 0.01 for f in dataclasses.fields(ArmRewardScalesCfg)})
+        cfg = dataclasses.replace(
+            WidowGo1Cfg(),
+            terrain=TerrainCfg(mesh_type="plane"),
+            rewards=RewardsCfg(scales=scales, arm_scales=arm_scales))
+        env = WidowGo1Env(cfg, num_envs=4, seed=0)
+        assert len(env.reward_names) == len(dataclasses.fields(RewardScalesCfg))
+        assert len(env.arm_reward_names) == len(
+            dataclasses.fields(ArmRewardScalesCfg))
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        state, out = env.step(state, jnp.zeros((4, 18)), jnp.asarray(1.0))
+        assert np.isfinite(np.asarray(out.rew)).all()
+        assert np.isfinite(np.asarray(out.arm_rew)).all()
+        assert np.isfinite(np.asarray(out.obs)).all()
+        # every enabled term accumulated an episode sum entry
+        for k in env.reward_names + env.arm_reward_names:
+            assert k in state.episode_sums
+
+    def test_contact_termination_enables(self):
+        """terminate_after_contacts_on wires contact-force termination
+        (reference widowGo1.py:940; [] in the released config)."""
+        from dwbc_tpu.envs.config import AssetCfg
+
+        cfg = dataclasses.replace(
+            WidowGo1Cfg(), terrain=TerrainCfg(mesh_type="plane"),
+            asset=AssetCfg(terminate_after_contacts_on=("trunk", "wx250")))
+        env = WidowGo1Env(cfg, num_envs=4, seed=0)
+        assert env.termination_bodies.shape[0] > 0
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        state, out = env.step(state, jnp.zeros((4, 18)), jnp.asarray(1.0))
+        assert np.asarray(out.reset).dtype == bool
