@@ -28,6 +28,10 @@ NOMINAL_REFERENCE_FPS = 50_000.0
 # per-chip bf16 peak: TPU v5e = 197 TFLOP/s (public spec). The compute
 # path here is f32 (physics), so MFU is conservative by construction.
 PEAK_FLOPS = {"tpu": 197e12}.get("tpu", 197e12)
+# v5e HBM bandwidth (public spec). The physics substep loop is VPU
+# scalar math over (N,) arrays — bandwidth-bound, not MXU-bound — so the
+# roofline that locates it is state-pytree HBM traffic vs this ceiling.
+PEAK_HBM_GBPS = 819.0
 
 
 def measure(num_envs: int, steps: int, iters: int, trace_dir=None):
@@ -66,8 +70,22 @@ def measure(num_envs: int, steps: int, iters: int, trace_dir=None):
     if trace_dir:
         jax.profiler.stop_trace()
 
-    # per-phase split of the measured iterations
-    coll_t = runner.tot_time  # total; recompute from the last learn call
+    # HBM roofline: the fused substep reads+writes the physics state
+    # pytree once per substep (XLA path) or once per policy step (pallas
+    # path keeps substeps in VMEM). This locates collect time against
+    # the bandwidth ceiling — the relevant "speed of light" for VPU
+    # scalar physics (MXU MFU is ~0 by construction: no big matmuls).
+    import jax.numpy as jnp  # noqa: F401
+
+    state_bytes = sum(
+        x.nbytes for x in jax.tree.leaves(runner.env_state)
+        if hasattr(x, "nbytes"))
+    decim = getattr(env.cfg.control, "decimation", 4)
+    passes = 1 if env.pallas_step is not None else decim
+    traffic_per_iter = 2.0 * state_bytes * passes * steps  # read+write
+    coll_s = max(runner.last_collection_time, 1e-9)
+    hbm_gbps = traffic_per_iter / coll_s / 1e9
+
     fps = steps * num_envs * iters / dt
     achieved = flops_per_iter * iters / dt if flops_per_iter else 0.0
     return {
@@ -78,6 +96,10 @@ def measure(num_envs: int, steps: int, iters: int, trace_dir=None):
         "collect_flops_per_iter": flops_per_iter,
         "achieved_tflops": round(achieved / 1e12, 3),
         "mfu_vs_bf16_peak": round(achieved / PEAK_FLOPS, 4),
+        "state_bytes_per_env_step": round(2.0 * state_bytes * passes
+                                          / num_envs, 1),
+        "collect_hbm_gbps": round(hbm_gbps, 1),
+        "hbm_util_vs_peak": round(hbm_gbps / PEAK_HBM_GBPS, 4),
     }
 
 
@@ -109,6 +131,8 @@ def main():
         "learn_time_s": result["learn_time_s"],
         "achieved_tflops": result["achieved_tflops"],
         "mfu_vs_bf16_peak": result["mfu_vs_bf16_peak"],
+        "collect_hbm_gbps": result["collect_hbm_gbps"],
+        "hbm_util_vs_peak": result["hbm_util_vs_peak"],
         "pallas": os.environ.get("DWBC_PALLAS", "0"),
     }
     if trace_dir:

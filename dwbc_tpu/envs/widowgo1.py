@@ -23,12 +23,17 @@ preserving):
     PhysX buries it — it is vestigial to training either way. Here the
     box is co-simulated with full two-way robot contact (sim/fused.py
     box coupling) plus box-terrain contact, so it genuinely interacts;
-  * z-termination is TERRAIN-RELATIVE (base height above the local
-    heightfield < z_threshold) where the reference compares absolute
-    root z (widowGo1.py:948). The reference trains on near-zero-mean
-    Perlin noise so absolute ~= relative there; relative is the robust
-    reading on terrain with nonzero mean and is what transfers. This
-    changes episode statistics on rough terrain by design.
+  * (divergence REMOVED in r2) z-termination compares ABSOLUTE root z
+    against z_threshold=0.325, exactly like the reference
+    (widowGo1.py:948). This is load-bearing, not an arbitrary frame
+    choice: the Perlin noise is mapped to [0, 1]*zScale
+    (terrain.py:86 `* 0.5 + 0.5`), so terrain heights are NON-NEGATIVE
+    with mean ~= +0.09 m. A PD-held robot sags to ~0.25 m above local
+    ground (kp=50 is soft; MuJoCo golden agrees within 28 mm), i.e. to
+    ~0.34 m ABSOLUTE on average terrain — the absolute check passes for
+    a sagged stance while a terrain-RELATIVE check with the same 0.325
+    threshold would terminate every env within ~7 policy steps of
+    spawn (measured: that exact storm made the task unlearnable).
 """
 
 from __future__ import annotations
@@ -197,6 +202,15 @@ class WidowGo1Env:
         use_pallas = (jax.default_backend() == "tpu"
                       and not cfg.control.adaptive_arm_gains
                       and __import__("os").environ.get("DWBC_PALLAS") == "1")
+        # guard: the kernel bakes rotational inertia about the COM as
+        # compile-time constants (mass/COM DR enters at runtime, matching
+        # the reference's DR surface, widowGo1.py:431-466). If per-env
+        # inertia DR is ever added, the kernel would be silently wrong.
+        if use_pallas and getattr(cfg.domain_rand, "randomize_inertia", False):
+            raise NotImplementedError(
+                "DWBC_PALLAS=1 is incompatible with inertia randomization: "
+                "ops/pallas_substep.py bakes body inertia tensors as "
+                "constants; use the XLA path (DWBC_PALLAS=0)")
         import os as _os
         if _os.environ.get("DWBC_PALLAS") == "0":
             use_pallas = False
@@ -509,7 +523,13 @@ class WidowGo1Env:
         base_xy = base_xy.at[:, 0].set(
             jnp.minimum(base_xy[:, 0], self._wall_x))
         ground = self.hf.sample(base_xy[:, 0], base_xy[:, 1])
-        base_z = ground + cfg.init_state.pos[2]
+        # ABSOLUTE spawn z, like the reference: env_origins carry z=0 on
+        # Perlin terrain (widowGo1.py:212, :766), so the drop height over
+        # local ground varies with the (non-negative) terrain height and
+        # feet can start below ground on high cells — the contact law's
+        # max_depen_vel surfaces them gently, as PhysX does
+        # (legged_robot_config.py:196).
+        base_z = jnp.full_like(ground, cfg.init_state.pos[2])
         q = jnp.zeros((N, m.nq)).at[:, 0:2].set(base_xy).at[:, 2].set(base_z)
         q = q.at[:, 6].set(1.0).at[:, 7:].set(dof_pos)
         qd = jnp.zeros((N, m.nv))
@@ -719,8 +739,11 @@ class WidowGo1Env:
             (roll < -0.2) & (curr_goal[:, 2] <= 0))
         p_term = ((pitch > 0.2) & (curr_goal[:, 1] >= 0)) | (
             (pitch < -0.2) & (curr_goal[:, 1] <= 0))
-        z_term = robot.q[:, 2] - self.hf.sample(robot.q[:, 0], robot.q[:, 1]) \
-            < cfg.termination.z_threshold
+        # ABSOLUTE root z, exactly as the reference (widowGo1.py:948).
+        # The Perlin heights are in [0, zScale+] (mean ~+0.09 m), so the
+        # absolute check is ~0.09 m more permissive than a terrain-
+        # relative one — which is what makes the spawn sag survivable.
+        z_term = robot.q[:, 2] < cfg.termination.z_threshold
         # contact-force termination (widowGo1.py:940); released config has
         # terminate_after_contacts_on = [] so this is pruned by default
         if self.termination_bodies.shape[0]:

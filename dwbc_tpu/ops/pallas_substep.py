@@ -300,8 +300,9 @@ def make_pallas_step(model: RobotModel, params: SimParams, hf: Heightfield,
                 m_share = jnp.minimum(m_solo[g],
                                       m_body_eff[g] / count_b[b])
                 vn = vdot(gv, nrm)
-                acc_n = (-vn) / dt + cp.baumgarte * jnp.maximum(
-                    -phi - cp.slop, 0.0) / (dt * dt)
+                acc_n = (-vn) / dt + jnp.minimum(
+                    cp.baumgarte * jnp.maximum(-phi - cp.slop, 0.0) / dt,
+                    cp.max_depen_vel) / dt
                 fn = jnp.where(active[g],
                                jnp.clip(m_share * acc_n, 0.0, cp.fn_max), 0.0)
                 vt = vsub(gv, vscale(nrm, vn))
@@ -327,8 +328,9 @@ def make_pallas_step(model: RobotModel, params: SimParams, hf: Heightfield,
                     vr = vsub(gv, v_cp)
                     vn_b = vdot(vr, n_w)
                     m_eff = 1.0 / (1.0 / m_share + 1.0 / m_box)
-                    acc_b = (-vn_b) / dt + cp.baumgarte * jnp.maximum(
-                        -phi_b - cp.slop, 0.0) / (dt * dt)
+                    acc_b = (-vn_b) / dt + jnp.minimum(
+                        cp.baumgarte * jnp.maximum(-phi_b - cp.slop, 0.0)
+                        / dt, cp.max_depen_vel) / dt
                     fn_b = jnp.where(
                         act_b, jnp.clip(m_eff * acc_b, 0.0, cp.fn_max), 0.0)
                     vt_b = vsub(vr, vscale(n_w, vn_b))
@@ -361,8 +363,9 @@ def make_pallas_step(model: RobotModel, params: SimParams, hf: Heightfield,
                     phi_c = (cw[2] - bh_c[c]) * nrm_c[2] - box_r
                     act_c = phi_c < 0.0
                     vn_c = vdot(vc, nrm_c)
-                    acc_c = (-vn_c) / dt + cp.baumgarte * jnp.maximum(
-                        -phi_c - cp.slop, 0.0) / (dt * dt)
+                    acc_c = (-vn_c) / dt + jnp.minimum(
+                        cp.baumgarte * jnp.maximum(-phi_c - cp.slop, 0.0)
+                        / dt, cp.max_depen_vel) / dt
                     fn_c = jnp.where(
                         act_c, jnp.clip(m_sh * acc_c, 0.0, cp.fn_max), 0.0)
                     vt_c = vsub(vc, vscale(nrm_c, vn_c))

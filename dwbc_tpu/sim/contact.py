@@ -40,6 +40,11 @@ class ContactParams(NamedTuple):
     approximation. Restitution is 0 (legged_robot_config.py:195)."""
 
     baumgarte: float = 0.2   # fraction of penetration corrected per step
+    # pushout speed ceiling [m/s] — PhysX max_depenetration_velocity
+    # (legged_robot_config.py:196). Lets deeply-spawned bodies (feet
+    # below terrain at the reference's ABSOLUTE spawn z, widowGo1.py:766)
+    # surface gently instead of being launched by the Baumgarte term.
+    max_depen_vel: float = 1.0
     slop: float = 0.001      # penetration tolerance [m]
     fn_max: float = 2000.0   # per-contact force clamp [N]
     vel_eps: float = 1e-4    # tangential speed regularizer
@@ -99,7 +104,10 @@ def terrain_contact(
     # energy injection), while splitting collective support across a face.
     m_share = jnp.minimum(m_solo, m_body / share)
     # desired normal acceleration: cancel approach velocity + pushout
-    acc_n = (-vn) / dt + params.baumgarte * jnp.maximum(-phi - params.slop, 0.0) / (dt * dt)
+    push_v = jnp.minimum(
+        params.baumgarte * jnp.maximum(-phi - params.slop, 0.0) / dt,
+        params.max_depen_vel)
+    acc_n = (-vn) / dt + push_v / dt
     fn = m_share * acc_n
     fn = jnp.where(active, jnp.clip(fn, 0.0, params.fn_max), 0.0)
 

@@ -482,8 +482,9 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
         m_share = jnp.minimum(m_solo_c, m_body_c / count_g)
 
         vn = vdot(gv, nrm)
-        acc_n = (-vn) / dt + cp.baumgarte * jnp.maximum(
-            -phi - cp.slop, 0.0) / (dt * dt)
+        acc_n = (-vn) / dt + jnp.minimum(
+            cp.baumgarte * jnp.maximum(-phi - cp.slop, 0.0) / dt,
+            cp.max_depen_vel) / dt
         fn = jnp.where(active, jnp.clip(m_share * acc_n, 0.0, cp.fn_max), 0.0)
         vt = vsub(gv, vscale(nrm, vn))
         vt_norm = jnp.sqrt(vdot(vt, vt) + cp.vel_eps ** 2)
@@ -514,8 +515,9 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
             vr = vsub(gv, v_cp)
             vn_b = vdot(vr, n_w)
             m_eff = 1.0 / (1.0 / m_share + 1.0 / m_box)
-            acc_b = (-vn_b) / dt + cp.baumgarte * jnp.maximum(
-                -phi_b - cp.slop, 0.0) / (dt * dt)
+            acc_b = (-vn_b) / dt + jnp.minimum(
+                cp.baumgarte * jnp.maximum(-phi_b - cp.slop, 0.0) / dt,
+                cp.max_depen_vel) / dt
             fn_b = jnp.where(act_b,
                              jnp.clip(m_eff * acc_b, 0.0, cp.fn_max), 0.0)
             vt_b = vsub(vr, vscale(n_w, vn_b))
@@ -542,8 +544,9 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
             cnt_c = jnp.maximum(jnp.sum(act_c.astype(jnp.float32), 0), 1.0)
             m_sh = m_box / cnt_c
             vn_c = vdot(vc, n_c)
-            acc_c = (-vn_c) / dt + cp.baumgarte * jnp.maximum(
-                -phi_c - cp.slop, 0.0) / (dt * dt)
+            acc_c = (-vn_c) / dt + jnp.minimum(
+                cp.baumgarte * jnp.maximum(-phi_c - cp.slop, 0.0) / dt,
+                cp.max_depen_vel) / dt
             fn_c = jnp.where(act_c,
                              jnp.clip(m_sh * acc_c, 0.0, cp.fn_max), 0.0)
             vt_c = vsub(vc, vscale(n_c, vn_c))
