@@ -47,6 +47,7 @@ class LeggedState(struct.PyTreeNode):
     terrain_types: jax.Array     # (N,) int32
     foot_forces: jax.Array       # (N, 4, 3)
     body_forces: jax.Array       # (N, nb, 3) net per-body contact force
+    contact_carry: Dict[str, jax.Array]  # warm-start contact forces (fused.py)
     episode_reward: jax.Array    # (N,) cumulative reward this episode
     actuator_hidden: jax.Array   # (layers, 2, N*nj, H) LSTM state (or (0,))
     episode_sums: Dict[str, jax.Array]
@@ -301,6 +302,7 @@ class LeggedRobotEnv:
             terrain_types=types,
             foot_forces=jnp.zeros((N, self.num_feet, 3)),
             body_forces=jnp.zeros((N, m.nb, 3)),
+            contact_carry=fused.init_contact_carry(m, N),
             episode_reward=zeros_n,
             actuator_hidden=(jnp.zeros((2, 2, N * m.nj, 8))
                              if cfg.control.use_actuator_network
@@ -413,6 +415,8 @@ class LeggedRobotEnv:
             episode_length=jnp.where(mask, 0, state.episode_length),
             last_actions=jnp.where(mask[:, None], 0.0, state.last_actions),
             last_dof_vel=jnp.where(mask[:, None], 0.0, state.last_dof_vel),
+            contact_carry={k: jnp.where(mask[:, None, None], 0.0, v)
+                           for k, v in state.contact_carry.items()},
             feet_air_time=jnp.where(mask[:, None], 0.0, state.feet_air_time),
             episode_reward=jnp.where(mask, 0.0, state.episode_reward),
             episode_sums={k: jnp.where(mask, 0.0, v)
@@ -509,11 +513,15 @@ class LeggedRobotEnv:
             out, tau_carry_out = self.fused_step(
                 state.robot.q, state.robot.qd, tau_fn,
                 state.inert.mass, state.inert.com, state.inert.inertia, fric,
-                cfg.control.decimation, tau_carry=tau_carry)
+                cfg.control.decimation, tau_carry=tau_carry,
+                contact_carry=state.contact_carry)
         robot = engine.BodyState(q=out.q, qd=out.qd)
         state = state.replace(robot=robot, torques=out.torques,
                               foot_forces=out.foot_forces,
-                              body_forces=out.body_forces)
+                              body_forces=out.body_forces,
+                              contact_carry=(out.contact_carry
+                                             if out.contact_carry is not None
+                                             else state.contact_carry))
         if cfg.control.use_actuator_network:
             state = state.replace(actuator_hidden=tau_carry_out)
 

@@ -90,6 +90,7 @@ class EnvState(struct.PyTreeNode):
     # sensors (filled post-step)
     foot_forces: jax.Array           # (N, 4, 3) world force per foot
     body_forces: jax.Array           # (N, nb, 3) net contact force per body
+    contact_carry: Dict[str, jax.Array]  # warm-start contact forces (fused.py)
     feet_air_time: jax.Array         # (N, 4) for feet_air_time reward
     last_contacts: jax.Array         # (N, 4) bool
     episode_reward: jax.Array        # (N,) cumulative leg reward
@@ -485,6 +486,7 @@ class WidowGo1Env:
             box_delta_y=box_delta_y,
             foot_forces=jnp.zeros((N, 4, 3)),
             body_forces=jnp.zeros((N, m.nb, 3)),
+            contact_carry=fused.init_contact_carry(m, N, with_box=True),
             feet_air_time=jnp.zeros((N, 4)),
             last_contacts=jnp.zeros((N, 4), bool),
             episode_reward=zeros_n,
@@ -561,6 +563,8 @@ class WidowGo1Env:
             episode_length=jnp.where(mask, 0, state.episode_length),
             last_actions=jnp.where(mask[:, None], 0.0, state.last_actions),
             last_dof_vel=jnp.where(mask[:, None], 0.0, state.last_dof_vel),
+            contact_carry={k: jnp.where(mask[:, None, None], 0.0, v)
+                           for k, v in state.contact_carry.items()},
             feet_air_time=jnp.where(mask[:, None], 0.0, state.feet_air_time),
             episode_reward=jnp.where(mask, 0.0, state.episode_reward),
             episode_arm_reward=jnp.where(mask, 0.0, state.episode_arm_reward),
@@ -670,11 +674,15 @@ class WidowGo1Env:
                 state.inert.inertia, fric, cfg.control.decimation,
                 box_q=state.box.q, box_qd=state.box.qd,
                 box_mass=state.box_inert.mass[:, 0],
-                box_i_diag=box_i_diag)
+                box_i_diag=box_i_diag,
+                contact_carry=state.contact_carry)
             box = engine.BodyState(q=box_q_n, qd=box_qd_n)
         robot = engine.BodyState(q=out.q, qd=out.qd)
         torques = out.torques
-        state = state.replace(robot=robot, box=box, torques=torques)
+        state = state.replace(robot=robot, box=box, torques=torques,
+                              contact_carry=(out.contact_carry
+                                             if out.contact_carry is not None
+                                             else state.contact_carry))
 
         # foot force sensors: per-foot world contact force (widowGo1.py:1090-1098)
         foot_forces = out.foot_forces  # (N, 4, 3)

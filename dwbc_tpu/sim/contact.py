@@ -45,6 +45,11 @@ class ContactParams(NamedTuple):
     # below terrain at the reference's ABSOLUTE spawn z, widowGo1.py:766)
     # surface gently instead of being launched by the Baumgarte term.
     max_depen_vel: float = 1.0
+    # warm-start carry growth limit, in units of m_share*g per substep
+    # (sim/fused.py): static/gait loads persist across substeps (true
+    # static friction + penetration-free support, the TGS warm-start
+    # mechanism) while impact spikes never enter the carry.
+    warm_growth: float = 2.0
     slop: float = 0.001      # penetration tolerance [m]
     fn_max: float = 2000.0   # per-contact force clamp [N]
     vel_eps: float = 1e-4    # tangential speed regularizer

@@ -142,19 +142,21 @@ def _run_ours(env, q0, targets_fn, n_steps):
     fric = jnp.ones((1,))
 
     @jax.jit
-    def step1(q, qd, tgt):
+    def step1(q, qd, cc, tgt):
         def tau_fn(carry, q_arr, qd_arr):
             tau = (env.p_gains * (tgt - q_arr[:, 7:])
                    - env.d_gains * qd_arr[:, 6:])
             return carry, jnp.clip(tau, -env.torque_limits,
                                    env.torque_limits)
 
-        out, _ = env.fused_step(q, qd, tau_fn, mass, com, inertia, fric, 1)
-        return out.q, out.qd
+        out, _ = env.fused_step(q, qd, tau_fn, mass, com, inertia, fric, 1,
+                                contact_carry=cc)
+        return out.q, out.qd, out.contact_carry
 
+    cc = fused.init_contact_carry(model, 1)
     traj = []
     for t in range(n_steps):
-        q, qd = step1(q, qd, jnp.asarray(targets_fn(t)))
+        q, qd, cc = step1(q, qd, cc, jnp.asarray(targets_fn(t)))
         traj.append(np.asarray(q[0, :7]))
     return np.asarray(traj)
 
