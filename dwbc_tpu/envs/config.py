@@ -146,6 +146,9 @@ class DomainRandCfg:
     arm_motor_strength_range: Tuple[float, float] = (0.7, 1.3)
     randomize_gripper_mass: bool = True
     gripper_added_mass_range: Tuple[float, float] = (0.0, 0.1)
+    # full inertia-tensor DR (no reference analogue; guarded against the
+    # Pallas path, which bakes inertials — widowgo1.py DWBC_PALLAS check)
+    randomize_inertia: bool = False
     push_robots: bool = True
     push_interval_s: float = 3.0
     max_push_vel_xy: float = 0.5

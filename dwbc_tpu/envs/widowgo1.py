@@ -805,6 +805,13 @@ class WidowGo1Env:
         stats["arm_reward_sum"] = jnp.sum(jnp.where(reset_buf, ep_arm, 0.0))
         stats["len_sum"] = jnp.sum(jnp.where(
             reset_buf, episode_length.astype(jnp.float32), 0.0))
+        # termination-cause breakdown (env counts per step; a termination
+        # can have several causes — each contributing cause is counted)
+        stats["term_roll"] = jnp.sum(r_term)
+        stats["term_pitch"] = jnp.sum(p_term)
+        stats["term_z"] = jnp.sum(z_term)
+        stats["term_timeout"] = jnp.sum(time_out)
+        stats["term_bad"] = jnp.sum(bad)
         state = state.replace(episode_reward=ep_rew,
                               episode_arm_reward=ep_arm)
 

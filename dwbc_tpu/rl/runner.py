@@ -124,6 +124,10 @@ class Rollout:
                      + ["metric_" + k for k in metric_names])
         if not hasattr(env, "arm_reward_names"):
             stat_keys.append("terrain_level")
+        else:
+            # termination-cause breakdown (VERDICT r2 item 1a)
+            stat_keys += ["term_roll", "term_pitch", "term_z",
+                          "term_timeout", "term_bad"]
         stats0 = {k: jnp.zeros(()) for k in stat_keys}
         stats0.update(reward_sum=jnp.zeros(()), arm_reward_sum=jnp.zeros(()),
                       len_sum=jnp.zeros(()))
@@ -345,6 +349,9 @@ class OnPolicyRunner:
             d["Loss/" + k] = float(v)
         for k, v in stats.items():
             if k.startswith(("rew_", "metric_")):
+                d["Episode/" + k] = float(v) / nres
+            elif k.startswith("term_"):
+                # fraction of terminations with this cause (causes overlap)
                 d["Episode/" + k] = float(v) / nres
         if "terrain_level" in stats:  # per-step mean, not per-reset
             d["Episode/terrain_level"] = (float(stats["terrain_level"])

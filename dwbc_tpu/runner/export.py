@@ -44,16 +44,16 @@ def main():
         f.write(serialization.to_bytes(params))
 
     # 2. StableHLO exports (deployment-mode: history-encoder latent path)
-    num_prop = env.num_proprio
-    num_hist = env.cfg.env.history_len
-
     def policy_fn(obs):
         return model.apply(params, obs, True, method="act_mean")
 
     def hist_fn(obs):
         return model.apply(params, obs, method="hist_latent")
 
-    obs_spec = jax.ShapeDtypeStruct((1, env.num_obs), jnp.float32)
+    # polymorphic batch dim: the robot runtime calls with batch 1, eval
+    # playback with num_envs (reference traces batch-1, save_jit.py:215)
+    b = jax.export.symbolic_shape("b")[0]
+    obs_spec = jax.ShapeDtypeStruct((b, env.num_obs), jnp.float32)
     exp_policy = jax.export.export(jax.jit(policy_fn))(obs_spec)
     exp_hist = jax.export.export(jax.jit(hist_fn))(obs_spec)
     with open(os.path.join(args.out_dir, "policy.stablehlo"), "wb") as f:

@@ -58,7 +58,7 @@ def _rollout(model, params, key, obs):
     return traj
 
 
-@pytest.mark.parametrize("mix_counter", [0.0, 1500.0])
+@pytest.mark.parametrize("mix_counter", [0, 1500])
 def test_dual_head_ppo_learns_both_heads(mix_counter):
     cfg = ppo_lib.PPOConfig(num_heads=2, use_dagger=False, use_roa=False,
                             num_learning_epochs=2, num_mini_batches=2)
@@ -68,7 +68,7 @@ def test_dual_head_ppo_learns_both_heads(mix_counter):
     params = model.init(key, obs)
     state = ppo_lib.init_state(cfg, params)
     # freeze the curriculum counter so the mixing ratio is fixed
-    state = state.replace(counter=jnp.asarray(mix_counter))
+    state = state.replace(counter=jnp.asarray(mix_counter, jnp.int32))
 
     def mean_heads(params):
         m = np.asarray(model.apply(params, obs, False, method="act_mean"))

@@ -12,16 +12,29 @@ import pytest
 
 _WORKER = r"""
 import os, sys
-pid = int(sys.argv[1]); port = sys.argv[2]
+pid = int(sys.argv[1]); port = sys.argv[2]; cache_dir = sys.argv[3]
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=2")
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/dwbc_jax"))
+# FRESH per-run cache dir (shared by both workers), NOT the user cache:
+# a stale persistent cache can hit for one worker and miss for the other
+# (e.g. entries compiled under different machine features), skewing their
+# compile times by minutes — more than the ~30 s Gloo context-connect
+# deadline of the first collective. Symmetric cold compiles keep the two
+# workers within seconds of each other.
+jax.config.update("jax_compilation_cache_dir", cache_dir)
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                            num_processes=2, process_id=pid)
 assert jax.device_count() == 4 and jax.process_count() == 2
+
+# Establish the Gloo communicator NOW, while both processes are in
+# lockstep (the preceding barrier of initialize): a tiny psum compiles in
+# seconds on both sides; the big training graphs later reuse the
+# connected clique instead of racing its 30 s connect deadline.
+import numpy as np
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("dwbc_warmup")
 
 from dwbc_tpu.parallel import distributed as dist
 from dwbc_tpu.envs import legged_config as lc
@@ -36,7 +49,7 @@ cfg = ppo_lib.PPOConfig(
     num_learning_epochs=2, num_mini_batches=2,
     min_policy_std=(0.0,) * 12,
 )
-runner = OnPolicyRunner(env, cfg, num_steps_per_env=4, seed=1, mesh=mesh)
+runner = OnPolicyRunner(env, cfg, num_steps_per_env=2, seed=1, mesh=mesh)
 # per-host build path: local state shards were assembled, never the
 # global batch on one host
 assert runner.env_state.robot.q.shape[0] == 8
@@ -54,12 +67,15 @@ print("MULTIHOST_OK", pid, float(np.abs(leaf).sum()), flush=True)
 def test_two_process_training(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
+    cache_dir = tmp_path / "jax_cache"
+    cache_dir.mkdir()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
-        subprocess.Popen([sys.executable, str(script), str(i), "29731"],
+        subprocess.Popen([sys.executable, str(script), str(i), "29731",
+                          str(cache_dir)],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          env=env, text=True)
         for i in range(2)
@@ -67,7 +83,7 @@ def test_two_process_training(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=1100)
+            out, _ = p.communicate(timeout=1500)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
