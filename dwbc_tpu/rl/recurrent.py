@@ -186,10 +186,24 @@ class RecurrentPPO:
 
 class RecurrentRunner:
     """Minimal training driver for the recurrent path (the full-featured
-    OnPolicyRunner drives the feedforward families)."""
+    OnPolicyRunner drives the feedforward families). Reachable from the
+    train CLI via TaskSpec.policy_class_name == 'ActorCriticRecurrent'
+    (the reference's selection mechanism, on_policy_runner.py:63)."""
+
+    is_main = True
 
     def __init__(self, env, cfg: ppo_lib.PPOConfig, num_steps_per_env=24,
-                 seed: int = 1, rnn_hidden_size: int = 64):
+                 seed: int = 1, rnn_hidden_size: int = 64, log_dir=None,
+                 mesh=None):
+        if mesh is not None and len(mesh.devices.flat) > 1:
+            raise NotImplementedError(
+                "recurrent path is single-device; pass --mesh none")
+        self.log_dir = log_dir
+        self._log_f = None
+        if log_dir is not None:
+            import os
+            os.makedirs(log_dir, exist_ok=True)
+            self._log_f = open(f"{log_dir}/metrics.jsonl", "a")
         self.env = env
         self.model = ActorCriticRecurrent(
             num_obs=env.num_obs, num_actions=env.num_actions,
@@ -210,7 +224,9 @@ class RecurrentRunner:
         self.carry = self.model.initial_state_static(env.num_envs)
         self.last_dones = jnp.zeros((env.num_envs,), bool)
 
-    def learn(self, num_iterations: int, log=print):
+    def learn(self, num_iterations: int, log=print, log_every: int = 10):
+        import json
+
         history = []
         for it in range(num_iterations):
             self.key, k_roll, k_up = jax.random.split(self.key, 3)
@@ -223,7 +239,24 @@ class RecurrentRunner:
                 self.ppo_state, traj, h0, last_values, k_up)
             mean_rew = float(traj.rewards.mean())
             history.append(mean_rew)
-            if it % 10 == 0 and log:
-                log(f"recurrent it {it} mean step rew {mean_rew:.4f} "
-                    f"vloss {float(metrics['value_loss']):.4f}")
+            if it % log_every == 0:
+                if log:
+                    log(f"recurrent it {it} mean step rew {mean_rew:.4f} "
+                        f"vloss {float(metrics['value_loss']):.4f}")
+                if self._log_f:
+                    self._log_f.write(json.dumps({
+                        "it": it, "Train/mean_step_reward": mean_rew,
+                        "Loss/value_loss": float(metrics["value_loss"]),
+                        "Loss/surrogate_loss": float(
+                            metrics["surrogate_loss"]),
+                    }) + "\n")
+                    self._log_f.flush()
         return history
+
+    # train-CLI protocol compatibility (no curricula / no resume yet)
+    def force_terminal_schedules(self):
+        pass
+
+    def load(self, path, load_optimizer=True):
+        raise NotImplementedError(
+            "recurrent checkpointing not implemented; train from scratch")

@@ -19,6 +19,9 @@ class TaskSpec(NamedTuple):
     num_steps_per_env: int
     default_num_envs: int
     experiment_name: str
+    # the reference selects the recurrent variant by name through config
+    # (policy_class_name, on_policy_runner.py:63)
+    policy_class_name: str = "ActorCritic"
 
 
 def _widow_env(num_envs, seed, terrain=None, adaptive=False):
@@ -84,6 +87,9 @@ TASKS: Dict[str, TaskSpec] = {
                          "rough_anymal_b"),
     "cassie": TaskSpec(_legged_env(lc.cassie_rough), _BASE_PPO, 24, 4096,
                        "rough_cassie"),
+    "go1_flat_lstm": TaskSpec(
+        _legged_env(lc.go1_flat), _BASE_PPO, 24, 4096, "flat_go1_lstm",
+        policy_class_name="ActorCriticRecurrent"),
 }
 
 
@@ -99,9 +105,15 @@ def make_env(task: str, num_envs=None, seed: int = 1):
 
 def make_runner(task: str, num_envs=None, seed: int = 1, log_dir=None,
                 max_iterations=None, mesh=None):
-    from ..rl.runner import OnPolicyRunner
     env, spec = make_env(task, num_envs, seed)
-    runner = OnPolicyRunner(env, spec.ppo_cfg,
-                            num_steps_per_env=spec.num_steps_per_env,
-                            log_dir=log_dir, seed=seed, mesh=mesh)
+    if spec.policy_class_name == "ActorCriticRecurrent":
+        from ..rl.recurrent import RecurrentRunner
+        runner = RecurrentRunner(env, spec.ppo_cfg,
+                                 num_steps_per_env=spec.num_steps_per_env,
+                                 seed=seed, log_dir=log_dir, mesh=mesh)
+    else:
+        from ..rl.runner import OnPolicyRunner
+        runner = OnPolicyRunner(env, spec.ppo_cfg,
+                                num_steps_per_env=spec.num_steps_per_env,
+                                log_dir=log_dir, seed=seed, mesh=mesh)
     return env, runner, spec
