@@ -58,7 +58,10 @@ class Rollout:
         self.has_counter = "counter" in inspect.signature(
             type(env).step).parameters
 
-        self._collect_jit = jax.jit(self._collect_impl)
+        # donate the env-state pytree: the rollout consumes the previous
+        # state and the caller only keeps the returned one; donation lets
+        # XLA alias the (large) state buffers instead of double-buffering
+        self._collect_jit = jax.jit(self._collect_impl, donate_argnums=(1,))
         self._learn = jax.jit(functools.partial(self._learn_impl, False))
         self._learn_dagger = jax.jit(functools.partial(self._learn_impl, True))
 
