@@ -158,11 +158,13 @@ class Rollout:
         return fn(ppo_state, traj, last_obs, key)
 
 
-def _make_writers(log_dir: str):
+def _make_writers(log_dir: str, run_config=None):
     """Optional metric sinks matching the reference's wandb + TensorBoard
     pair (on_policy_runner.py:36, :43, :106, :208-231). Both are gated on
     availability/config so headless TPU hosts run without them; the
-    always-on sink is metrics.jsonl."""
+    always-on sink is metrics.jsonl. `run_config` (env cfg + ppo cfg as a
+    dict) is uploaded to wandb like the reference's config-source upload
+    (train.py:42-47)."""
     writers = []
     try:  # TensorBoard via torch (baked in); absent in minimal images
         from torch.utils.tensorboard import SummaryWriter
@@ -179,7 +181,7 @@ def _make_writers(log_dir: str):
 
             if wandb.run is None:
                 wandb.init(project=os.environ["WANDB_PROJECT"],
-                           dir=log_dir, config={})
+                           dir=log_dir, config=run_config or {})
             writers.append(lambda it, d: wandb.log(d, step=it))
         except Exception:
             pass
@@ -290,7 +292,16 @@ class OnPolicyRunner:
             os.makedirs(self.log_dir, exist_ok=True)
             self._log_f = open(os.path.join(self.log_dir, "metrics.jsonl"),
                                "a")
-            self._writers = _make_writers(self.log_dir)
+            import dataclasses as _dc
+            run_config = {
+                "env_cfg": (_dc.asdict(env.cfg)
+                            if _dc.is_dataclass(env.cfg) else str(env.cfg)),
+                "ppo_cfg": (_dc.asdict(cfg) if _dc.is_dataclass(cfg)
+                            else getattr(cfg, "_asdict", lambda: str(cfg))()),
+                "num_envs": env.num_envs,
+                "num_steps_per_env": num_steps_per_env,
+            }
+            self._writers = _make_writers(self.log_dir, run_config)
         else:
             self._log_f = None
             self._writers = []
