@@ -98,6 +98,8 @@ class LeggedRobotEnv:
                 terrain_proportions=cfg.terrain.terrain_proportions,
                 curriculum=cfg.terrain.curriculum, seed=seed))
             self.hf = self.grid.hf
+            if cfg.terrain.measure_heights:
+                self.hf = self.hf.with_min3()
         else:
             self.hf = terr.flat_plane(
                 cfg.env_spacing * (int(np.sqrt(num_envs)) + 2) + 10, 1.0)

@@ -33,6 +33,20 @@ class Heightfield(NamedTuple):
     height: jax.Array   # (H, W) float32 meters; axis 0 = x, axis 1 = y
     cell: float
     origin: Tuple[float, float]  # world coords of grid index (0, 0)
+    # optional precomputed 3-tap min table: min3[i,j] = min(h[i,j],
+    # h[i+1,j], h[i,j+1]). sample_min3 is a pure function of the cell
+    # index, so the min folds into ONE gather instead of three — XLA's
+    # TPU gather costs ~10 ns PER INDEX, and the 187-point height scan
+    # (legged_robot.py:793-829) is the dominant gather of rough-terrain
+    # tasks. Bit-identical results.
+    min3: Optional[jax.Array] = None
+
+    def with_min3(self) -> "Heightfield":
+        h = np.asarray(self.height, np.float32)
+        h_r = np.concatenate([h[1:], h[-1:]], 0)
+        h_c = np.concatenate([h[:, 1:], h[:, -1:]], 1)
+        return self._replace(min3=jnp.asarray(np.minimum(np.minimum(h, h_r),
+                                                         h_c)))
 
     def sample(self, x: jax.Array, y: jax.Array) -> jax.Array:
         """Bilinear height lookup; clamps at borders."""
@@ -62,6 +76,8 @@ class Heightfield(NamedTuple):
         H, W = self.height.shape
         ix = jnp.clip(((x - self.origin[0]) / self.cell).astype(jnp.int32), 0, H - 2)
         iy = jnp.clip(((y - self.origin[1]) / self.cell).astype(jnp.int32), 0, W - 2)
+        if self.min3 is not None:
+            return self.min3[ix, iy]
         h1 = self.height[ix, iy]
         h2 = self.height[ix + 1, iy]
         h3 = self.height[ix, iy + 1]
