@@ -170,6 +170,14 @@ class WidowGo1Env:
         self.ee_offset = jnp.asarray(m.sites["wx250s/ee_gripper_link"].pos)
         self.feet_geoms = jnp.asarray(
             np.concatenate([m.geoms_of(f) for f in urdf.FEET_ORDER]))
+        # foot force-sensor frames: the reference creates identity-pose
+        # sensors ON the foot links (widowGo1.py:311-316) and IsaacGym
+        # reports sensor forces in the SENSOR (foot-link) frame, so
+        # _reward_foot_contacts_z squares the LOCAL z component
+        # (widowGo1.py:1456) — at stance a tilted calf sees cos(theta) of
+        # the world-vertical load. Feet are merged into calves here; the
+        # foot fixed joint carries no rotation, so foot frame = calf frame.
+        self.feet_bodies = np.asarray(m.geom_body)[np.asarray(self.feet_geoms)]
 
         # contact body groups (widowGo1_config.py:175-183): substring match
         # over body names, including merged-in fixed links via sites
@@ -735,10 +743,14 @@ class WidowGo1Env:
                 q=robot.q, qd=jnp.where(push_now, qd_pushed, robot.qd))
             state = state.replace(robot=robot)
 
-        # 7. EE world pose
-        kin_pos, kin_rot = self._ee_world(robot.q)
+        # 7. EE world pose (+ foot sensor frames)
+        kin_pos, kin_rot, foot_rot = self._ee_world(robot.q)
         ee_pos = kin_pos
         ee_orn = kin_rot
+        # force-sensor reading: world contact force rotated into the foot
+        # link frame (see feet_bodies comment; widowGo1.py:1456)
+        foot_forces_sensor = jnp.einsum("nfji,nfj->nfi", foot_rot,
+                                        state.foot_forces)
 
         # 8. termination (widowGo1.py:937-963)
         curr_goal = (curr_sphere if cfg.goal_ee.command_mode == "sphere"
@@ -775,7 +787,7 @@ class WidowGo1Env:
         # 9. rewards (dual; NOT dt-scaled; /100 — widowGo1.py:170-205)
         rew, arm_rew, ep_sums, met_sums, new_air, new_contacts = self._rewards(
             state, base_lin_vel, base_ang_vel, base_yaw_quat, ee_pos, ee_orn,
-            curr, reset_buf, time_out)
+            curr, reset_buf, time_out, foot_forces_sensor)
         state = state.replace(feet_air_time=new_air,
                               last_contacts=new_contacts)
         # exploded envs produce garbage rewards on their final step; zero
@@ -849,12 +861,13 @@ class WidowGo1Env:
     # ------------------------------------------------------------------
 
     def _ee_world(self, q_batch):
-        """EE gripper world position + orientation quaternion."""
+        """EE gripper world position + orientation quaternion, plus the
+        foot-link world rotations (for the force-sensor local frame)."""
         def single(q):
             kin = dynamics.fk(self.model, q, jnp.zeros(self.model.nv))
             rot = kin.rot[self.gripper_body]
             pos = kin.pos[self.gripper_body] + rot @ self.ee_offset
-            return pos, maths.mat_to_quat(rot)
+            return pos, maths.mat_to_quat(rot), kin.rot[self.feet_bodies]
         return jax.vmap(single)(q_batch)
 
     def _observations(self, state: EnvState):
@@ -907,7 +920,8 @@ class WidowGo1Env:
         return obs, obs_history
 
     def _rewards(self, state: EnvState, base_lin_vel, base_ang_vel,
-                 base_yaw_quat, ee_pos, ee_orn, curr, reset_buf, time_out):
+                 base_yaw_quat, ee_pos, ee_orn, curr, reset_buf, time_out,
+                 foot_forces_sensor):
         """The FULL selectable reward library (widowGo1.py:1352-1469 + the
         base legged_robot.py:832-922 terms reachable through reflection),
         scales applied, episode/metric sums updated. Scales NOT multiplied
@@ -946,7 +960,8 @@ class WidowGo1Env:
         hip_l2 = jnp.sum(jnp.square(
             state.actions[:, jnp.array([0, 3, 6, 9])]), -1)        # :1379
         met["leg_action_l2"] = met["leg_action_l2"] + hip_l2
-        fz = state.foot_forces[:, :, 2]
+        # SENSOR-frame z, like the reference's foot force sensors (:1456)
+        fz = foot_forces_sensor[:, :, 2]
         foot_z = jnp.sum(jnp.square(fz), -1)                       # :1455
         met["foot_contacts_z"] = met["foot_contacts_z"] + foot_z
         torque_sq = jnp.sum(jnp.square(torques), -1)               # :1460

@@ -38,6 +38,11 @@ def main():
                     help="force all curricula/regularizer schedules to their "
                          "terminal values (the reference's RESUME=True "
                          "semantics, widowGo1_config.py:35)")
+    ap.add_argument("--terminal_mixing", action="store_true",
+                    help="advantage-mixing ratio kappa=1 from iteration 0 "
+                         "(the reference's RESUME-mode mixing_schedule="
+                         "[1.0, 0, 1], widowGo1_config.py:360) while other "
+                         "schedules keep their fresh-training ramps")
     args = ap.parse_args()
 
     import jax
@@ -73,9 +78,14 @@ def main():
     run_name = args.exptid or time.strftime("%b%d_%H-%M-%S")
     log_dir = os.path.join(args.log_root, TASKS[args.task].experiment_name,
                            run_name)
+    ppo_overrides = {}
+    if args.terminal_mixing:
+        # reference RESUME-mode mixing (widowGo1_config.py:360)
+        ppo_overrides["mixing_schedule"] = (1.0, 0.0, 1.0)
     env, runner, spec = make_runner(args.task, num_envs=args.num_envs,
                                     seed=args.seed, log_dir=log_dir,
-                                    mesh=mesh)
+                                    mesh=mesh,
+                                    ppo_overrides=ppo_overrides or None)
     if args.resume:
         ckpt = args.checkpoint or _latest_checkpoint(
             os.path.join(args.log_root, TASKS[args.task].experiment_name))

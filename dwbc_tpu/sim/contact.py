@@ -50,6 +50,22 @@ class ContactParams(NamedTuple):
     # static friction + penetration-free support, the TGS warm-start
     # mechanism) while impact spikes never enter the carry.
     warm_growth: float = 2.0
+    # carry decay per substep. A pure integral carry (decay=1) is a
+    # MARGINALLY STABLE oscillator (force integrates velocity error,
+    # velocity integrates force -> |r| = 1): measured 1.8 rad/s RMS leg
+    # joint jitter on a widowGo1 standing at rest, i.e. ~5000 raw
+    # energy_square per step for merely existing. decay beta gives
+    # |r| = sqrt(beta) damping; the static load share lost to decay is
+    # re-supplied by the Baumgarte term at ~(1-beta)*W*dt^2/(m*bg)
+    # extra penetration (~0.3 mm per foot).
+    warm_decay: float = 0.9
+    # under-relaxation of the per-substep impulse correction (Jacobi-
+    # coupled contacts: the 4 feet couple through the trunk, so full
+    # deadbeat corrections applied simultaneously overshoot and ring;
+    # the warm-start carry still converges the average force, relaxation
+    # only spreads each correction over ~1/relax substeps — the same
+    # shape as TGS's 4 position iterations).
+    relax: float = 0.5
     slop: float = 0.001      # penetration tolerance [m]
     fn_max: float = 2000.0   # per-contact force clamp [N]
     vel_eps: float = 1e-4    # tangential speed regularizer

@@ -75,30 +75,58 @@ def geom_effective_masses(model: RobotModel, q_ref: jax.Array):
         Jn = n @ J
         return 1.0 / (Jn @ Minv @ Jn + 1e-9)
 
+    def point_W(body: int, p_point: jax.Array) -> jax.Array:
+        """Full 3x3 translational Delassus (inverse-mass) matrix
+        W = J M^-1 J^T at the point. The per-contact effective mass along
+        any direction d is 1/(d^T W d): the vertical-only scalar
+        OVERESTIMATES the mass along tilted normals and tangents (legs
+        comply laterally far more than vertically), which made the
+        deadbeat contact correction overshoot and ring on slopes
+        (measured 43x energy drop from fixing the gain)."""
+        J = jnp.zeros((3, model.nv))
+        R0 = kin.rot[0]
+        r_b = R0.T @ (p_point - kin.pos[0])
+        J = J.at[:, 0:3].set(-R0 @ sp.skew(r_b))
+        J = J.at[:, 3:6].set(R0)
+        i = body
+        axis = model.joint_axis
+        while i > 0:
+            ax_w = kin.rot[i] @ jnp.asarray(axis[i])
+            if int(model.joint_type[i]) == 0:
+                J = J.at[:, 6 + i - 1].set(jnp.cross(ax_w, p_point - kin.pos[i]))
+            else:
+                J = J.at[:, 6 + i - 1].set(ax_w)
+            i = int(model.parent[i])
+        return J @ Minv @ J.T
+
     m_solo = []
     m_body = []
+    w_geom = []
     for gi in range(len(model.geom_body)):
         body = int(model.geom_body[gi])
         offset = jnp.asarray(model.geom_pos[gi])
         p_point = kin.pos[body] + kin.rot[body] @ offset
         m_solo.append(point_m_eff(body, p_point))
         m_body.append(point_m_eff(body, kin.pos[body]))
-    return jnp.stack(m_solo), jnp.stack(m_body)
+        w_geom.append(point_W(body, p_point))
+    return jnp.stack(m_solo), jnp.stack(m_body), jnp.stack(w_geom)
 
 
 class PhysCtx(NamedTuple):
     """Static per-model physics context precomputed at a reference pose."""
 
-    m_solo: jax.Array     # (ng,) solo-contact effective masses
+    m_solo: jax.Array     # (ng,) solo-contact effective masses (vertical)
     m_body: jax.Array     # (ng,) translational effective mass at body origin
     dof_i_eff: jax.Array  # (nj,) joint effective inertias (diag of CRBA M)
+    w_geom: Optional[jax.Array] = None  # (ng, 3, 3) translational Delassus
 
 
 def build_ctx(model: RobotModel, q_ref: jax.Array) -> PhysCtx:
     inert = dynamics.default_inertial(model)
     M = dynamics.crba(model, inert, q_ref)
-    m_solo, m_body = geom_effective_masses(model, q_ref)
-    return PhysCtx(m_solo=m_solo, m_body=m_body, dof_i_eff=jnp.diag(M)[6:])
+    m_solo, m_body, w_geom = geom_effective_masses(model, q_ref)
+    return PhysCtx(m_solo=m_solo, m_body=m_body, dof_i_eff=jnp.diag(M)[6:],
+                   w_geom=w_geom)
 
 
 class BodyState(struct.PyTreeNode):

@@ -347,6 +347,12 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
                      for i in range(nb)]
     m_solo = [float(v) for v in np.asarray(ctx.m_solo)]
     m_body_eff = [float(v) for v in np.asarray(ctx.m_body)]
+    if ctx.w_geom is not None:
+        w_np = np.asarray(ctx.w_geom, np.float32)          # (ng, 3, 3)
+    else:  # fall back to isotropic vertical Delassus
+        w_np = np.zeros((len(m_solo), 3, 3), np.float32)
+        for g, ms in enumerate(m_solo):
+            w_np[g] = np.eye(3) / max(ms, 1e-9)
     i_eff = [float(v) for v in np.asarray(ctx.dof_i_eff)]
     foot_geoms = [int(g) for g in foot_geoms]
     gvec = params.gravity
@@ -436,12 +442,15 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
             n_arr = hf.normal(xs, ys)
             n_s = (n_arr[..., 0], n_arr[..., 1], n_arr[..., 2])
         slot = geom_slot  # constant row gather: contiguous (1, N) slices
-        dhdx = -n_s[0] / n_s[2]
-        dhdy = -n_s[1] / n_s[2]
-        h = (h_s[slot] + dhdx[slot] * (gp[0] - xs[slot])
-             + dhdy[slot] * (gp[1] - ys[slot]))
+        # cache the tangent PLANE (anchor + normal), not a frozen height:
+        # each substep evaluates the plane at the CURRENT geom position
+        # (see substep), so contact geometry is temporally smooth within
+        # and across policy steps — a frozen per-step height/normal jumps
+        # discontinuously as feet micro-move on Perlin cells (measured:
+        # 1.85 rad/s standing leg jitter and ~6600 raw energy_square per
+        # step on rough vs 72 on flat from exactly those jumps).
         nrm = (n_s[0][slot], n_s[1][slot], n_s[2][slot])
-        return h, nrm
+        return h_s[slot], nrm, xs[slot], ys[slot]
 
     def substep(q, qd, tau, mass, com, inertia, terrain_cache, cf, bx=None,
                 box_terrain=None):
@@ -460,7 +469,7 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
         penetration-proportional Baumgarte term at equilibrium (measured:
         closes a 27 mm settle-height gap vs MuJoCo to <5 mm).
         bx: co-simulated box state dict (pos/quat/lin/ang/mass/i_diag) or
-        None; box_terrain: (h (8, N), normal 3x(8, N)) under its corners.
+        None; box_terrain: tangent-plane cache under its center.
         Returns updated (q, qd) + contact info + new cf + updated bx."""
 
         # ---------------- FK ----------------
@@ -523,6 +532,20 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
         radius_c = jnp.asarray(np.asarray(geom_radius, np.float32))[:, None]
         m_solo_c = jnp.asarray(np.asarray(m_solo, np.float32))[:, None]
         m_body_c = jnp.asarray(np.asarray(m_body_eff, np.float32))[:, None]
+        # cached 3x3 Delassus components (ng, 1); effective mass along a
+        # unit direction d is 1 / (d^T W d) — see engine.point_W
+        W = {k: jnp.asarray(w_np[:, i, j])[:, None]
+             for k, (i, j) in dict(xx=(0, 0), yy=(1, 1), zz=(2, 2),
+                                   xy=(0, 1), xz=(0, 2), yz=(1, 2)).items()}
+
+        def m_dir(d):
+            """1/(d^T W d) for a unit direction tuple d (components
+            broadcastable to (ng, N))."""
+            q = (W["xx"] * d[0] * d[0] + W["yy"] * d[1] * d[1]
+                 + W["zz"] * d[2] * d[2]
+                 + 2.0 * (W["xy"] * d[0] * d[1] + W["xz"] * d[0] * d[2]
+                          + W["yz"] * d[1] * d[2]))
+            return 1.0 / jnp.maximum(q, 1e-6)
 
         r_w = mvec(Rg, off)                      # (ng, N) world offsets
         gp = vadd(pg, r_w)
@@ -530,7 +553,11 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
         u_w = mvec(Rg, vg_lin)
         gv = vadd(u_w, vcross(w_w, r_w))
 
-        h, nrm = terrain_cache
+        h_a, nrm, ax, ay = terrain_cache
+        # evaluate the cached tangent plane at the CURRENT geom position
+        dhdx = -nrm[0] / nrm[2]
+        dhdy = -nrm[1] / nrm[2]
+        h = h_a + dhdx * (gp[0] - ax) + dhdy * (gp[1] - ay)
         phi = (gp[2] - h) * nrm[2] - radius_c
         active = phi < 0.0
 
@@ -542,29 +569,42 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
         count_b = jnp.maximum(E @ active.astype(jnp.float32), 1.0)  # (nb, N)
         count_g = count_b[gb_idx]
         m_share = jnp.minimum(m_solo_c, m_body_c / count_g)
+        # multi-contact share factor, applied to the DIRECTIONAL masses
+        share_f = m_share / m_solo_c
 
         vn = vdot(gv, nrm)
         push_v = jnp.minimum(
             cp.baumgarte * jnp.maximum(-phi - cp.slop, 0.0) / dt,
             cp.max_depen_vel)
-        fprev = cf["terr"]
-        fn_prev = jnp.maximum(vdot(fprev, nrm), 0.0)
-        ftp = vsub(fprev, vscale(nrm, vdot(fprev, nrm)))
-        fn = jnp.clip(fn_prev + m_share * (push_v - vn) / dt, 0.0, cp.fn_max)
-        fn = jnp.where(active, fn, 0.0)
+        # directional effective masses: along the contact normal for the
+        # normal correction, along the actual slip direction for friction
+        # (the vertical-only scalar overestimated both on slopes -> the
+        # deadbeat correction overshot and rang; measured 43x raw-energy
+        # drop at standing on Perlin from this change)
+        m_n = share_f * m_dir(nrm)
         vt = vsub(gv, vscale(nrm, vn))
-        ftv = vadd(ftp, vscale(vt, -m_share / dt))
+        vt_norm = jnp.sqrt(vdot(vt, vt) + 1e-12)
+        t_hat = tuple(vt[k] / vt_norm for k in range(3))
+        m_t = share_f * m_dir(t_hat)
+        fprev = cf["terr"]
+        fn_prev = cp.warm_decay * jnp.maximum(vdot(fprev, nrm), 0.0)
+        ftp = vscale(vsub(fprev, vscale(nrm, vdot(fprev, nrm))),
+                     cp.warm_decay)
+        fn = jnp.clip(fn_prev + cp.relax * m_n * (push_v - vn) / dt,
+                      0.0, cp.fn_max)
+        fn = jnp.where(active, fn, 0.0)
+        ftv = vadd(ftp, vscale(vt, -cp.relax * m_t / dt))
         ft_norm = jnp.sqrt(vdot(ftv, ftv) + 1e-12)
         fscale = jnp.minimum(1.0, substep.friction * fn / ft_norm)
         gF = tuple(jnp.where(active, fn * nrm[k] + ftv[k] * fscale, 0.0)
                    for k in range(3))
         # carry = applied force with GROWTH-CLAMPED normal (and the cone-
-        # consistent friction): static/gait loads (≲2 m_share g per substep)
+        # consistent friction): static/gait loads (≲2 m g per substep)
         # accumulate freely so the converged force persists at rest, but an
         # impact spike (m Δv/dt, ~10-100x weight) never enters the carry —
         # re-applying it next substep would launch the body (elastic bounce;
         # restitution must be 0, legged_robot_config.py:195).
-        dF = cp.warm_growth * 9.81 * m_share
+        dF = cp.warm_growth * 9.81 * m_n
         fn_c = jnp.minimum(fn, fn_prev + dF)
         fsc_c = jnp.minimum(fscale, (substep.friction * fn_c) / ft_norm)
         cf_new = {"terr": tuple(
@@ -593,18 +633,22 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
             v_cp = vadd(vbl, vcross(wb, r_box))
             vr = vsub(gv, v_cp)
             vn_b = vdot(vr, n_w)
-            m_eff = 1.0 / (1.0 / m_share + 1.0 / m_box)
+            m_eff = 1.0 / (1.0 / (share_f * m_dir(n_w)) + 1.0 / m_box)
             push_b = jnp.minimum(
                 cp.baumgarte * jnp.maximum(-phi_b - cp.slop, 0.0) / dt,
                 cp.max_depen_vel)
             fprev_b = cf["boxg"]
-            fnp_b = jnp.maximum(vdot(fprev_b, n_w), 0.0)
-            ftp_b = vsub(fprev_b, vscale(n_w, vdot(fprev_b, n_w)))
-            fn_b = jnp.clip(fnp_b + m_eff * (push_b - vn_b) / dt,
+            fnp_b = cp.warm_decay * jnp.maximum(vdot(fprev_b, n_w), 0.0)
+            ftp_b = vscale(vsub(fprev_b, vscale(n_w, vdot(fprev_b, n_w))),
+                           cp.warm_decay)
+            fn_b = jnp.clip(fnp_b + cp.relax * m_eff * (push_b - vn_b) / dt,
                             0.0, cp.fn_max)
             fn_b = jnp.where(act_b, fn_b, 0.0)
             vt_b = vsub(vr, vscale(n_w, vn_b))
-            ftv_b = vadd(ftp_b, vscale(vt_b, -m_eff / dt))
+            vtn_bh = jnp.sqrt(vdot(vt_b, vt_b) + 1e-12)
+            tb_hat = tuple(vt_b[k] / vtn_bh for k in range(3))
+            m_eff_t = 1.0 / (1.0 / (share_f * m_dir(tb_hat)) + 1.0 / m_box)
+            ftv_b = vadd(ftp_b, vscale(vt_b, -cp.relax * m_eff_t / dt))
             ftn_b = jnp.sqrt(vdot(ftv_b, ftv_b) + 1e-12)
             fsc_b = jnp.minimum(1.0, substep.friction * fn_b / ftn_b)
             F_geom = tuple(jnp.where(
@@ -628,7 +672,9 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
             rc = mvec(Rb, ck)                             # (8, N)
             cw = vadd(pb, rc)
             vc = vadd(vbl, vcross(wb, rc))
-            h_c, n_c = box_terrain
+            hb_a, n_c, bax, bay = box_terrain
+            h_c = (hb_a - n_c[0] / n_c[2] * (cw[0] - bax)
+                   - n_c[1] / n_c[2] * (cw[1] - bay))
             phi_c = (cw[2] - h_c) * n_c[2] - box_r
             act_c = phi_c < 0.0
             cnt_c = jnp.maximum(jnp.sum(act_c.astype(jnp.float32), 0), 1.0)
@@ -638,13 +684,14 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
                 cp.baumgarte * jnp.maximum(-phi_c - cp.slop, 0.0) / dt,
                 cp.max_depen_vel)
             fprev_c = cf["corner"]
-            fnp_c = jnp.maximum(vdot(fprev_c, n_c), 0.0)
-            ftp_c = vsub(fprev_c, vscale(n_c, vdot(fprev_c, n_c)))
-            fn_cc = jnp.clip(fnp_c + m_sh * (push_c - vn_c) / dt,
+            fnp_c = cp.warm_decay * jnp.maximum(vdot(fprev_c, n_c), 0.0)
+            ftp_c = vscale(vsub(fprev_c, vscale(n_c, vdot(fprev_c, n_c))),
+                           cp.warm_decay)
+            fn_cc = jnp.clip(fnp_c + cp.relax * m_sh * (push_c - vn_c) / dt,
                              0.0, cp.fn_max)
             fn_cc = jnp.where(act_c, fn_cc, 0.0)
             vt_c = vsub(vc, vscale(n_c, vn_c))
-            ftv_c = vadd(ftp_c, vscale(vt_c, -m_sh / dt))
+            ftv_c = vadd(ftp_c, vscale(vt_c, -cp.relax * m_sh / dt))
             ftn_c = jnp.sqrt(vdot(ftv_c, ftv_c) + 1e-12)
             fsc_c = jnp.minimum(1.0, substep.friction * fn_cc / ftn_c)
             F_c = tuple(jnp.where(
@@ -847,12 +894,9 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
             h_c = hf.sample(cx, cy)
             n_arr = hf.normal(cx, cy)
             n_c = (n_arr[..., 0], n_arr[..., 1], n_arr[..., 2])
-        dhdx = -n_c[0] / n_c[2]
-        dhdy = -n_c[1] / n_c[2]
-        h = h_c + dhdx * (cw[0] - cx) + dhdy * (cw[1] - cy)   # (8, N)
-        ones = jnp.ones_like(cw[0])
-        nrm = (n_c[0] * ones, n_c[1] * ones, n_c[2] * ones)
-        return h, nrm
+        # tangent-plane cache (anchor + normal), evaluated at current
+        # corner positions inside each substep (same scheme as the robot)
+        return h_c, n_c, cx, cy
 
     def step(q: jax.Array, qd: jax.Array, tau_fn, mass: jax.Array,
              com: jax.Array, inertia: jax.Array, friction: jax.Array,

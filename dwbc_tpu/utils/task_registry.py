@@ -104,8 +104,11 @@ def make_env(task: str, num_envs=None, seed: int = 1):
 
 
 def make_runner(task: str, num_envs=None, seed: int = 1, log_dir=None,
-                max_iterations=None, mesh=None):
+                max_iterations=None, mesh=None, ppo_overrides=None):
     env, spec = make_env(task, num_envs, seed)
+    if ppo_overrides:
+        spec = spec._replace(
+            ppo_cfg=dataclasses.replace(spec.ppo_cfg, **ppo_overrides))
     if spec.policy_class_name == "ActorCriticRecurrent":
         from ..rl.recurrent import RecurrentRunner
         runner = RecurrentRunner(env, spec.ppo_cfg,
