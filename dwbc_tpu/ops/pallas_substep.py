@@ -1,5 +1,11 @@
 """Pallas TPU kernel: the full physics substep loop, fused.
 
+STATUS (r3): implements the r2 contact law (one-shot impulses, frozen
+terrain cache). The production XLA path (sim/fused.py) moved to
+warm-started directional-Delassus impulses with a tangent-plane cache
+and is the benched fast path; this kernel stays opt-in (DWBC_PALLAS=1)
+until it is ported to the same law.
+
 sim/fused.py expresses one substep as ~3k scalar VPU ops over (N,)
 arrays; XLA runs them as dozens of fused kernels per substep with the
 full state pytree bouncing through HBM between them — at 160 substeps

@@ -1,10 +1,14 @@
 """Pallas fused-substep kernel vs the XLA fused path.
 
-Runs compiled on TPU backends only (set DWBC_TPU_TESTS=1 with a TPU
-visible): interpret mode on CPU takes >25 min for this kernel, so CPU
-CI relies on the identical-math XLA fused path (tests/test_engine.py)
-and this parity check runs wherever a chip exists (also exercised by
-tools/check_pallas.py before every bench)."""
+SKIPPED until the kernel is updated to the r3 contact law: sim/fused.py
+moved to warm-started directional-Delassus impulses with a tangent-plane
+terrain cache (see the r3 "suicide-policy root causes" commit); the
+kernel still implements the r2 one-shot law, so step-level parity no
+longer holds. The kernel remains opt-in (DWBC_PALLAS=1) and unused by
+the production path (the XLA path is the benched fast path since r3).
+
+When re-enabled: runs compiled on TPU backends only (DWBC_TPU_TESTS=1);
+interpret mode on CPU takes >25 min for this kernel."""
 
 import os
 
@@ -13,9 +17,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.skipif(
-    os.environ.get("DWBC_TPU_TESTS") != "1",
-    reason="pallas kernel parity needs a TPU (DWBC_TPU_TESTS=1)")
+pytestmark = pytest.mark.skip(
+    reason="pallas kernel implements the r2 contact law; fused moved to "
+           "warm-started directional impulses in r3 — kernel update queued")
 
 from dwbc_tpu.core import urdf
 from dwbc_tpu.envs.legged_config import go1_flat

@@ -72,15 +72,15 @@ def test_recurrent_training_improves_reward():
     from dwbc_tpu.rl import ppo as ppo_lib
     from dwbc_tpu.rl.recurrent import RecurrentRunner
 
-    env = LeggedRobotEnv(lc.go1_flat(), num_envs=8, seed=2)
+    env = LeggedRobotEnv(lc.go1_flat(), num_envs=16, seed=2)
     cfg = ppo_lib.PPOConfig(
         num_heads=1, use_dagger=False, use_roa=False,
         num_learning_epochs=3, num_mini_batches=2,
         entropy_coef=0.01, learning_rate=5e-4, schedule="adaptive",
         desired_kl=0.01, min_policy_std=(0.0,) * 12)
     runner = RecurrentRunner(env, cfg, num_steps_per_env=24, seed=1)
-    hist = runner.learn(50, log=None)
-    early = float(np.mean(hist[:5]))
-    late = float(np.mean(hist[-5:]))
+    hist = runner.learn(80, log=None)
+    early = float(np.mean(hist[:10]))
+    late = float(np.mean(hist[-10:]))
     assert np.isfinite(hist).all()
     assert late > early, (early, late)
