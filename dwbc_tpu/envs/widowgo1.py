@@ -824,6 +824,16 @@ class WidowGo1Env:
         stats["term_z"] = jnp.sum(z_term)
         stats["term_timeout"] = jnp.sum(time_out)
         stats["term_bad"] = jnp.sum(bad)
+        # stance diagnostics (per-step means; runner divides by num_steps):
+        # terrain-relative base height, fraction of envs within 3 cm of the
+        # absolute z_threshold knife-edge, and raw vel-x vs command
+        ground_b = self.hf.sample(robot.q[:, 0], robot.q[:, 1])
+        stats["step_base_height_rel"] = jnp.mean(robot.q[:, 2] - ground_b)
+        stats["step_z_margin_low"] = jnp.mean(
+            (robot.q[:, 2] - cfg.termination.z_threshold < 0.03)
+            .astype(jnp.float32))
+        stats["step_vel_x"] = jnp.mean(base_lin_vel[:, 0])
+        stats["step_cmd_x"] = jnp.mean(state.commands[:, 0])
         state = state.replace(episode_reward=ep_rew,
                               episode_arm_reward=ep_arm)
 
@@ -1020,9 +1030,13 @@ class WidowGo1Env:
                 robot.q[:, 2] - cfg.rewards.base_height_target),
             "feet_air_time": rew_air,
             "collision": collision,
+            # both operands world-frame, like the reference's single
+            # contact-force tensor (legged_robot.py:894-897); sensor-frame
+            # fz is only for the force-sensor-based foot_contacts_z term
             "feet_stumble": jnp.any(
                 jnp.linalg.norm(state.foot_forces[:, :, :2], axis=-1)
-                > 5 * jnp.abs(fz), axis=-1).astype(jnp.float32),
+                > 5 * jnp.abs(state.foot_forces[:, :, 2]),
+                axis=-1).astype(jnp.float32),
             "action_rate": jnp.sum(jnp.square(
                 state.last_actions - state.actions), -1),
             "stand_still": (jnp.sum(
@@ -1114,8 +1128,18 @@ class WidowGo1Env:
             v_w = rot @ vel[3:] + jnp.cross(w_w, rot @ self.ee_offset)
             ee_vel6 = jnp.concatenate([v_w, w_w])
 
-            m_inv = jnp.linalg.pinv(mm)
-            m_eef = jnp.linalg.pinv(j_eef @ m_inv @ j_eef.T)
+            # Damped solves instead of the reference's torch.pinverse
+            # (widowGo1.py:1230-1231): SVD-based pinv on an ill-conditioned
+            # arm block (collapsed/singular configurations) was the r3 NaN
+            # source that poisoned the torque-supervision loss. mm is SPD,
+            # and Λ = (J M⁻¹ Jᵀ + λI)⁻¹ is the standard damped-least-
+            # squares OSC; λ only matters near singularities.
+            lam = 1e-6
+            mm_d = mm + lam * jnp.eye(6)
+            m_inv_jt = jnp.linalg.solve(mm_d, j_eef.T)
+            a = j_eef @ m_inv_jt + 1e-4 * jnp.eye(6)
+            def m_eef(x):
+                return jnp.linalg.solve(a, x)
             _, _, yaw = maths.euler_from_quat(q[3:7])
             yq = maths.quat_from_euler_xyz(0.0 * yaw, 0.0 * yaw, yaw)
             target = jnp.concatenate(
@@ -1125,7 +1149,7 @@ class WidowGo1Env:
             ee_orn_des = jnp.array([0.0, 0.7071068, 0.0, 0.7071068])
             orn_err = maths.orientation_error(ee_orn_des, maths.normalize(ee_orn))
             dpose = jnp.concatenate([pos_err, orn_err])
-            u = j_eef.T @ (m_eef @ (kp * dpose - kd * ee_vel6))
+            u = j_eef.T @ m_eef(kp * dpose - kd * ee_vel6)
             # gravity compensation from RNEA bias at zero velocity
             bias = dynamics.rnea_bias(self.model, inert, q,
                                       jnp.zeros(self.model.nv))

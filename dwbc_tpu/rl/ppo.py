@@ -281,14 +281,27 @@ def update(
             if cfg.adaptive_arm_gains:
                 target_pos = act_mean[:, 12:-6]
                 delta_p = act_mean[:, -6:]
-                pg = jnp.maximum(p_g + delta_p, 0.0)
+                # floor at 1e-6, not 0 (r4 root cause of the adaptive-
+                # variant collapse): d/dx sqrt(x) -> inf at the 0-clamp,
+                # and inf * ts_weight(=0) = NaN — one env whose policy
+                # pushed a gain to the floor NaN-poisoned every gradient
+                pg = jnp.maximum(p_g + delta_p, 1e-6)
                 dg = 2.0 * jnp.sqrt(pg)
             else:
                 target_pos = act_mean[:, -6:]
                 pg, dg = p_g, d_g
             arm_tau = (pg * (target_pos * a_scale + def_pos - mb["arm_pos"])
                        - dg * mb["arm_vel"])
-            ts_loss = jnp.square(arm_tau - mb["arm_tau"]).mean()
+            # NaN-proofing (r3 finding): one non-finite OSC target used to
+            # poison the WHOLE loss even at ts_weight=0 (NaN*0=NaN) and
+            # every gradient with it. The target is data (no grad path),
+            # so masking on its finiteness is exact: bad elements
+            # contribute 0 to both the loss and the gradient.
+            tgt = mb["arm_tau"]
+            ok = jnp.isfinite(tgt)
+            err = jnp.where(ok, arm_tau - jnp.where(ok, tgt, 0.0), 0.0)
+            denom = jnp.maximum(jnp.sum(ok), 1)
+            ts_loss = jnp.sum(jnp.square(err)) / denom
             loss = loss + ts_loss * ts_weight
             aux["arm_torques_loss"] = ts_loss
 
@@ -361,6 +374,15 @@ def update(
     metrics["priv_reg_coef"] = reg_coef
     metrics["torque_supervision_weight"] = ts_weight
     metrics["hist_latent_loss"] = jnp.zeros(())
+    # per-head advantage diagnostics (r3 verdict: is the leg head's
+    # gradient signal being drowned by the kappa-mixed arm advantage?)
+    if cfg.num_heads == 2:
+        leg_abs = jnp.abs(f_adv[:, 0]).mean()
+        arm_abs = jnp.abs(f_adv[:, 1]).mean()
+        metrics["adv_leg_abs"] = leg_abs
+        metrics["adv_arm_abs"] = arm_abs
+        metrics["adv_leg_mixed_share"] = leg_abs / (
+            leg_abs + mix * arm_abs + 1e-8)
 
     new_state = state.replace(
         params=params, opt_state=opt_state, learning_rate=lr,

@@ -15,6 +15,7 @@ the env dimension, which never splits a trajectory.
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, NamedTuple
 
 import jax
@@ -224,11 +225,14 @@ class RecurrentRunner:
         self.carry = self.model.initial_state_static(env.num_envs)
         self.last_dones = jnp.zeros((env.num_envs,), bool)
 
-    def learn(self, num_iterations: int, log=print, log_every: int = 10):
+    def learn(self, num_iterations: int, log=print, log_every: int = 10,
+              save_interval: int = 500):
         import json
 
         history = []
         for it in range(num_iterations):
+            if (self.log_dir and it > 0 and it % save_interval == 0):
+                self.save(f"{self.log_dir}/model_{it}")
             self.key, k_roll, k_up = jax.random.split(self.key, 3)
             h0 = self.carry
             (self.env_state, self.obs, self.carry, self.last_dones, traj,
@@ -251,12 +255,59 @@ class RecurrentRunner:
                             metrics["surrogate_loss"]),
                     }) + "\n")
                     self._log_f.flush()
+        if self.log_dir:
+            self.save(f"{self.log_dir}/model_{num_iterations}")
         return history
 
-    # train-CLI protocol compatibility (no curricula / no resume yet)
+    # train-CLI protocol compatibility (no curricula yet)
     def force_terminal_schedules(self):
         pass
 
+    def save(self, path):
+        """Orbax checkpoint mirroring OnPolicyRunner.save (ADVICE r3: a
+        full CLI run used to produce no artifact at all)."""
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path), self._ckpt_tree(), force=True)
+        ckptr.wait_until_finished()
+
     def load(self, path, load_optimizer=True):
-        raise NotImplementedError(
-            "recurrent checkpointing not implemented; train from scratch")
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        ckpt = ckptr.restore(os.path.abspath(path),
+                             target=self._ckpt_tree())
+        self.ppo_state = self.ppo_state.replace(
+            params=ckpt["params"],
+            opt_state=(ckpt["opt_state"] if load_optimizer
+                       else self.ppo_state.opt_state),
+            learning_rate=ckpt["learning_rate"],
+            counter=ckpt["counter"])
+
+    def _ckpt_tree(self):
+        return {
+            "params": self.ppo_state.params,
+            "opt_state": self.ppo_state.opt_state,
+            "learning_rate": self.ppo_state.learning_rate,
+            "counter": self.ppo_state.counter,
+        }
+
+    def get_inference_policy(self, stochastic: bool = False):
+        """Stateful deterministic policy: obs -> actions, LSTM carry kept
+        inside the closure (the reference's PolicyExporterLSTM semantics,
+        helpers.py:201-226)."""
+        params = self.ppo_state.params
+        carry = self.model.initial_state_static(self.env.num_envs)
+
+        @jax.jit
+        def _act(params, carry, obs):
+            new_carry, mean, _ = self.model.apply(
+                params, carry, obs, method="step")
+            return mean, new_carry
+
+        state = {"carry": carry}
+
+        def policy(obs):
+            mean, state["carry"] = _act(params, state["carry"], obs)
+            return mean
+
+        return policy

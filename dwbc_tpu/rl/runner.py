@@ -130,7 +130,11 @@ class Rollout:
         else:
             # termination-cause breakdown (VERDICT r2 item 1a)
             stat_keys += ["term_roll", "term_pitch", "term_z",
-                          "term_timeout", "term_bad"]
+                          "term_timeout", "term_bad",
+                          # stance diagnostics (r4: is z-sag termination
+                          # gating locomotion?)
+                          "step_base_height_rel", "step_z_margin_low",
+                          "step_vel_x", "step_cmd_x"]
         stats0 = {k: jnp.zeros(()) for k in stat_keys}
         stats0.update(reward_sum=jnp.zeros(()), arm_reward_sum=jnp.zeros(()),
                       len_sum=jnp.zeros(()))
@@ -367,6 +371,9 @@ class OnPolicyRunner:
             elif k.startswith("term_"):
                 # fraction of terminations with this cause (causes overlap)
                 d["Episode/" + k] = float(v) / nres
+            elif k.startswith("step_"):
+                # per-step per-env mean over the whole rollout
+                d["Episode/" + k] = float(v) / self.rollout.num_steps
         if "terrain_level" in stats:  # per-step mean, not per-reset
             d["Episode/terrain_level"] = (float(stats["terrain_level"])
                                           / self.rollout.num_steps)

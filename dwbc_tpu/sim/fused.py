@@ -673,8 +673,15 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
             cw = vadd(pb, rc)
             vc = vadd(vbl, vcross(wb, rc))
             hb_a, n_c, bax, bay = box_terrain
-            h_c = (hb_a - n_c[0] / n_c[2] * (cw[0] - bax)
-                   - n_c[1] / n_c[2] * (cw[1] - bay))
+            # clamp the extrapolated tangent slope: near discontinuities
+            # (arena wall, stairs) n_z -> 0 and dh/dx blows up, which would
+            # teleport corner heights by the whole discontinuity across the
+            # 0.1 m box diagonal (ADVICE r3). |slope| <= 2 covers every
+            # Perlin cell; steeper implies a cliff where extrapolation is
+            # meaningless anyway.
+            sx = jnp.clip(n_c[0] / n_c[2], -2.0, 2.0)
+            sy = jnp.clip(n_c[1] / n_c[2], -2.0, 2.0)
+            h_c = hb_a - sx * (cw[0] - bax) - sy * (cw[1] - bay)
             phi_c = (cw[2] - h_c) * n_c[2] - box_r
             act_c = phi_c < 0.0
             cnt_c = jnp.maximum(jnp.sum(act_c.astype(jnp.float32), 0), 1.0)
