@@ -86,7 +86,7 @@ def measure(num_envs: int, steps: int, iters: int, trace_dir=None):
     state_bytes = sum(
         x.nbytes for x in jax.tree.leaves(es) if hasattr(x, "nbytes"))
     decim = getattr(env.cfg.control, "decimation", 4)
-    passes = 1 if env.pallas_step is not None else decim
+    passes = decim
     traffic_per_iter = (2.0 * substep_bytes * passes
                         + 2.0 * state_bytes) * steps  # read+write
     coll_s = max(runner.last_collection_time, 1e-9)
@@ -141,7 +141,7 @@ def main():
         "mfu_vs_bf16_peak": result["mfu_vs_bf16_peak"],
         "collect_hbm_gbps": result["collect_hbm_gbps"],
         "hbm_util_vs_peak": result["hbm_util_vs_peak"],
-        "pallas": os.environ.get("DWBC_PALLAS", "0"),
+        "pallas": "removed-r4",
     }
     if trace_dir:
         out["profile_trace"] = trace_dir

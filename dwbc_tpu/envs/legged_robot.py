@@ -153,28 +153,14 @@ class LeggedRobotEnv:
         self.fused_step = fused.make_fused_substep(
             m, self.sim_params, self.hf, self.ctx,
             np.asarray(self.feet_geoms))
-        # pallas whole-decimation kernel (ops/pallas_substep.py): PD-only —
-        # the V/T modes and the LSTM actuator net stay on the XLA path
-        self.pallas_step = None
+        # The r2 whole-decimation Pallas kernel was removed in r4 — stale
+        # contact law + pathological Mosaic compile time; the fused XLA
+        # path is the benched production path (ops/PALLAS_DESIGN.md)
         import os as _os
-        # opt-in (DWBC_PALLAS=1) until flipped to default after burn-in
-        use_pallas = (jax.default_backend() == "tpu"
-                      and cfg.control.control_type == "P"
-                      and not cfg.control.use_actuator_network
-                      and _os.environ.get("DWBC_PALLAS") == "1")
-        if use_pallas:
-            from ..ops import pallas_substep as ps
-            self._ps = ps
-            self.pallas_step = ps.make_pallas_step(
-                m, self.sim_params, self.hf, self.ctx,
-                np.asarray(self.feet_geoms),
-                ps.PDParams(
-                    p_gains=tuple(np.asarray(self.p_gains)),
-                    d_gains=tuple(np.asarray(self.d_gains)),
-                    action_scale=(float(cfg.control.action_scale),) * m.nj,
-                    default_pos=tuple(np.asarray(self.default_dof_pos)),
-                    use_motor_strength=False, n_act=m.nj),
-                n_substeps=cfg.control.decimation)
+        if _os.environ.get("DWBC_PALLAS") == "1":
+            raise NotImplementedError(
+                "the DWBC_PALLAS whole-substep kernel was removed in r4; "
+                "see dwbc_tpu/ops/PALLAS_DESIGN.md")
 
         # LSTM actuator network replacing PD (anymal_c rough,
         # anymal.py:52-78)
@@ -503,20 +489,11 @@ class LeggedRobotEnv:
 
             tau_carry = None
 
-        if self.pallas_step is not None:
-            th, tn = self._ps.sample_terrain_cache(m, self.hf, state.robot.q)
-            q_n, qd_n, foot_k, tau_k, bodyf_k = self.pallas_step(
-                state.robot.q, state.robot.qd, actions, None,
-                state.inert.mass, state.inert.com, fric, th, tn)
-            out = fused.FusedOut(q=q_n, qd=qd_n, foot_forces=foot_k,
-                                 body_forces=bodyf_k, torques=tau_k)
-            tau_carry_out = tau_carry
-        else:
-            out, tau_carry_out = self.fused_step(
-                state.robot.q, state.robot.qd, tau_fn,
-                state.inert.mass, state.inert.com, state.inert.inertia, fric,
-                cfg.control.decimation, tau_carry=tau_carry,
-                contact_carry=state.contact_carry)
+        out, tau_carry_out = self.fused_step(
+            state.robot.q, state.robot.qd, tau_fn,
+            state.inert.mass, state.inert.com, state.inert.inertia, fric,
+            cfg.control.decimation, tau_carry=tau_carry,
+            contact_carry=state.contact_carry)
         robot = engine.BodyState(q=out.q, qd=out.qd)
         state = state.replace(robot=robot, torques=out.torques,
                               foot_forces=out.foot_forces,

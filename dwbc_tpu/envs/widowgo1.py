@@ -205,39 +205,15 @@ class WidowGo1Env:
             m, self.sim_params, self.hf, self.ctx,
             np.asarray(self.feet_geoms),
             box_half_extents=(bs / 2,) * 3)
-        # pallas kernel path: the whole decimation loop in ONE kernel
-        # (ops/pallas_substep.py); PD-with-static-gains only
-        self.pallas_step = None
-        use_pallas = (jax.default_backend() == "tpu"
-                      and not cfg.control.adaptive_arm_gains
-                      and __import__("os").environ.get("DWBC_PALLAS") == "1")
-        # guard: the kernel bakes rotational inertia about the COM as
-        # compile-time constants (mass/COM DR enters at runtime, matching
-        # the reference's DR surface, widowGo1.py:431-466). If per-env
-        # inertia DR is ever added, the kernel would be silently wrong.
-        if use_pallas and getattr(cfg.domain_rand, "randomize_inertia", False):
+        # NOTE: the r2 whole-decimation Pallas kernel was deleted in r4
+        # (see dwbc_tpu/ops/PALLAS_DESIGN.md): it implemented a stale
+        # contact law, its Mosaic compile exceeded 25 min on this host,
+        # and the XLA fused path is the benched production path.
+        if __import__("os").environ.get("DWBC_PALLAS") == "1":
             raise NotImplementedError(
-                "DWBC_PALLAS=1 is incompatible with inertia randomization: "
-                "ops/pallas_substep.py bakes body inertia tensors as "
-                "constants; use the XLA path (DWBC_PALLAS=0)")
-        import os as _os
-        if _os.environ.get("DWBC_PALLAS") == "0":
-            use_pallas = False
-        if use_pallas:
-            from ..ops import pallas_substep as ps
-            self._ps = ps
-            self._box_half_extents = (bs / 2,) * 3
-            self.pallas_step = ps.make_pallas_step(
-                m, self.sim_params, self.hf, self.ctx,
-                np.asarray(self.feet_geoms),
-                ps.PDParams(
-                    p_gains=tuple(np.asarray(self.p_gains)),
-                    d_gains=tuple(np.asarray(self.d_gains)),
-                    action_scale=tuple(np.asarray(self.action_scale)),
-                    default_pos=tuple(np.asarray(self.default_dof_pos[:18])),
-                    use_motor_strength=True, n_act=18),
-                n_substeps=cfg.control.decimation,
-                box_half_extents=self._box_half_extents)
+                "the DWBC_PALLAS whole-substep kernel was removed in r4 "
+                "(stale r2 contact law); the XLA fused path is the "
+                "production path — see dwbc_tpu/ops/PALLAS_DESIGN.md")
         self.box_fused_step = fused.make_fused_substep(
             self.box_model, self.sim_params, self.hf, self.box_ctx,
             np.zeros((0,), np.int32))
@@ -654,37 +630,20 @@ class WidowGo1Env:
 
         box_i_diag = jnp.stack([state.box_inert.inertia[:, 0, k, k]
                                 for k in range(3)], -1)
-        if self.pallas_step is not None:
-            # pallas path: PD robot + box co-simulated IN-KERNEL with the
-            # same two-way coupling as the fused XLA path
-            th, tn = self._ps.sample_terrain_cache(m, self.hf, state.robot.q)
-            bh, bn = self._ps.sample_box_terrain_cache(
-                self.hf, state.box.q, self._box_half_extents)
-            q_n, qd_n, foot_k, tau_k, bodyf_k, bq_n, bqd_n = self.pallas_step(
-                state.robot.q, state.robot.qd, delayed[:, :18],
-                state.motor_strength, state.inert.mass, state.inert.com,
-                fric, th, tn,
-                box_q=state.box.q, box_qd=state.box.qd,
-                box_mass=state.box_inert.mass[:, 0],
-                box_i_diag=box_i_diag, box_h=bh, box_n=bn)
-            out = fused.FusedOut(q=q_n, qd=qd_n, foot_forces=foot_k,
-                                 body_forces=bodyf_k, torques=tau_k)
-            box = engine.BodyState(q=bq_n, qd=bqd_n)
-        else:
-            def tau_fn(carry, q_arr, qd_arr):
-                return carry, self._pd_torques(
-                    delayed, q_arr[:, 7:7 + 18], qd_arr[:, 6:6 + 18],
-                    state.motor_strength)
+        def tau_fn(carry, q_arr, qd_arr):
+            return carry, self._pd_torques(
+                delayed, q_arr[:, 7:7 + 18], qd_arr[:, 6:6 + 18],
+                state.motor_strength)
 
-            out, _, box_q_n, box_qd_n = self.fused_step(
-                state.robot.q, state.robot.qd, tau_fn,
-                state.inert.mass, state.inert.com,
-                state.inert.inertia, fric, cfg.control.decimation,
-                box_q=state.box.q, box_qd=state.box.qd,
-                box_mass=state.box_inert.mass[:, 0],
-                box_i_diag=box_i_diag,
-                contact_carry=state.contact_carry)
-            box = engine.BodyState(q=box_q_n, qd=box_qd_n)
+        out, _, box_q_n, box_qd_n = self.fused_step(
+            state.robot.q, state.robot.qd, tau_fn,
+            state.inert.mass, state.inert.com,
+            state.inert.inertia, fric, cfg.control.decimation,
+            box_q=state.box.q, box_qd=state.box.qd,
+            box_mass=state.box_inert.mass[:, 0],
+            box_i_diag=box_i_diag,
+            contact_carry=state.contact_carry)
+        box = engine.BodyState(q=box_q_n, qd=box_qd_n)
         robot = engine.BodyState(q=out.q, qd=out.qd)
         torques = out.torques
         state = state.replace(robot=robot, box=box, torques=torques,
