@@ -210,9 +210,20 @@ def update(
     advantages: jax.Array,
     key: jax.Array,
     arm_default: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
+    axis_name: Optional[str] = None,
 ):
     """One full PPO update: num_learning_epochs x num_mini_batches
-    minibatch gradient steps over the flattened (T*N) batch."""
+    minibatch gradient steps over the flattened (T*N) batch.
+
+    With `axis_name` set this is the SPMD shard-local body (called under
+    shard_map with the batch sharded over envs and params replicated):
+    each device shuffles and minibatches its LOCAL rows and the gradient
+    (+ KL/aux stats) is pmean'd across the mesh per minibatch step —
+    mathematically a global minibatch stratified by device. Without it,
+    r3's jit-with-shardings formulation made XLA all-gather the ENTIRE
+    flattened batch and run the whole update redundantly on every device
+    (measured in the r4 HLO audit, tools/scaling_model.py) — the learn
+    phase did not scale at all."""
     tx, _ = make_optimizers(cfg, state.params)
     T, N = traj.dones.shape
     B = T * N
@@ -222,6 +233,9 @@ def update(
     f_returns = returns.reshape(B, -1)
     f_adv = advantages.reshape(B, -1)
 
+    if axis_name is not None:
+        # decorrelate the per-device local permutations
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
     perm = jax.random.permutation(key, B)
     mix = mixing_ratio(cfg, state.counter)
     reg_coef = priv_reg_coef(cfg, state.counter)
@@ -331,6 +345,10 @@ def update(
         }
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, mb, lr)
+        if axis_name is not None:
+            # cross-device gradient/stat reduction (the explicit psum
+            # layer of SURVEY §2.5 item 2); params stay replicated
+            grads, aux = jax.lax.pmean((grads, aux), axis_name)
 
         # adaptive-KL LR (ppo.py:189-195)
         if cfg.desired_kl is not None and cfg.schedule == "adaptive":
@@ -379,6 +397,8 @@ def update(
     if cfg.num_heads == 2:
         leg_abs = jnp.abs(f_adv[:, 0]).mean()
         arm_abs = jnp.abs(f_adv[:, 1]).mean()
+        if axis_name is not None:
+            leg_abs, arm_abs = jax.lax.pmean((leg_abs, arm_abs), axis_name)
         metrics["adv_leg_abs"] = leg_abs
         metrics["adv_arm_abs"] = arm_abs
         metrics["adv_leg_mixed_share"] = leg_abs / (
@@ -396,14 +416,18 @@ def update_dagger(
     state: PPOState,
     traj: Transition,
     key: jax.Array,
+    axis_name: Optional[str] = None,
 ):
     """DAgger phase: regress hist latent <- sg(priv latent), training only
-    the history encoder (ppo.py:265-291)."""
+    the history encoder (ppo.py:265-291). `axis_name`: shard-local SPMD
+    body with pmean'd grads (see `update`)."""
     _, hist_tx = make_optimizers(cfg, state.params)
     T, N = traj.dones.shape
     B = T * N
     mb_size = B // cfg.num_mini_batches
     flat_obs = traj.obs.reshape(B, -1)
+    if axis_name is not None:
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
     perm = jax.random.permutation(key, B)
 
     def loss_fn(params, obs):
@@ -415,6 +439,8 @@ def update_dagger(
     def mb_step(carry, idx):
         params, opt_state, total = carry
         loss, grads = jax.value_and_grad(loss_fn)(params, flat_obs[idx])
+        if axis_name is not None:
+            loss, grads = jax.lax.pmean((loss, grads), axis_name)
         updates, opt_state = hist_tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state, total + loss), None

@@ -33,7 +33,7 @@ class Rollout:
     """Static bundle: env + model + ppo cfg; builds the jitted iteration."""
 
     def __init__(self, env, model: ac_lib.ActorCritic, cfg: ppo_lib.PPOConfig,
-                 num_steps: int = 40):
+                 num_steps: int = 40, mesh=None):
         from ..envs.vec_env import VecEnv
         assert isinstance(env, VecEnv), (
             "env must satisfy the VecEnv protocol (envs/vec_env.py)")
@@ -41,6 +41,10 @@ class Rollout:
         self.model = model
         self.cfg = cfg
         self.num_steps = num_steps
+        # mesh with >1 device => the PPO update runs under shard_map with
+        # device-local minibatches + pmean'd grads (see ppo.update)
+        self.mesh = mesh if (mesh is not None
+                             and mesh.devices.size > 1) else None
 
         # arm PD constants for the torque-supervision fk model
         # (on_policy_runner.py:91)
@@ -150,12 +154,41 @@ class Rollout:
         last_values = self.model.apply(ppo_state.params, last_obs,
                                        method="evaluate")
         if dagger:
-            return ppo_lib.update_dagger(self.cfg, self.model, ppo_state,
-                                         traj, key)
+            if self.mesh is None:
+                return ppo_lib.update_dagger(self.cfg, self.model, ppo_state,
+                                             traj, key)
+            return self._shard_mapped(
+                lambda st, tr, k: ppo_lib.update_dagger(
+                    self.cfg, self.model, st, tr, k, axis_name="data"),
+                n_batch_args=1)(ppo_state, traj, key)
+        # GAE + global advantage normalization stay OUTSIDE shard_map:
+        # under jit-with-shardings the batch-wide mean/std reduce to one
+        # scalar all-reduce (rollout_storage.py:149-150 semantics)
         returns, advantages = ppo_lib.compute_gae(self.cfg, traj, last_values)
-        return ppo_lib.update(self.cfg, self.model, ppo_state, traj, returns,
-                              advantages, key,
-                              arm_default=self.arm_default)
+        if self.mesh is None:
+            return ppo_lib.update(self.cfg, self.model, ppo_state, traj,
+                                  returns, advantages, key,
+                                  arm_default=self.arm_default)
+        return self._shard_mapped(
+            lambda st, tr, rt, ad, k: ppo_lib.update(
+                self.cfg, self.model, st, tr, rt, ad, k,
+                arm_default=self.arm_default, axis_name="data"),
+            n_batch_args=3)(ppo_state, traj, returns, advantages, key)
+
+    def _shard_mapped(self, fn, n_batch_args: int):
+        """Wrap a PPO update body in shard_map over the ('data',) mesh:
+        args = (ppo_state, *batch_args, key); batch args are (T, N, ...)
+        sharded over N, state/key replicated; outputs (PPOState, metrics)
+        are replicated (grads are pmean'd inside, so every device computes
+        identical parameter updates — the standard DP invariant)."""
+        from jax.sharding import PartitionSpec as P
+        shard_map = getattr(jax, "shard_map", None)
+        if shard_map is None:  # older jax
+            from jax.experimental.shard_map import shard_map
+        batch = P(None, "data")
+        in_specs = (P(),) + (batch,) * n_batch_args + (P(),)
+        return shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                         out_specs=(P(), P()), check_vma=False)
 
     def learn_step(self, ppo_state, traj, last_obs, key, dagger: bool):
         fn = self._learn_dagger if dagger else self._learn
@@ -230,7 +263,8 @@ class OnPolicyRunner:
             dummy_obs = jnp.zeros((1, env.num_obs))
             params = self.model.init(k_init, dummy_obs)
             self.ppo_state = ppo_lib.init_state(cfg, params)
-            self.rollout = Rollout(env, self.model, cfg, num_steps_per_env)
+            self.rollout = Rollout(env, self.model, cfg, num_steps_per_env,
+                                   mesh=mesh)
 
         def build_state(build_env, k):
             st, obs0 = build_env.reset(k)
