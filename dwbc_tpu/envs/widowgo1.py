@@ -714,23 +714,8 @@ class WidowGo1Env:
         # 8. termination (widowGo1.py:937-963)
         curr_goal = (curr_sphere if cfg.goal_ee.command_mode == "sphere"
                      else curr_cart)
-        r_term = ((roll > 0.2) & (curr_goal[:, 2] >= 0)) | (
-            (roll < -0.2) & (curr_goal[:, 2] <= 0))
-        p_term = ((pitch > 0.2) & (curr_goal[:, 1] >= 0)) | (
-            (pitch < -0.2) & (curr_goal[:, 1] <= 0))
-        # ABSOLUTE root z, exactly as the reference (widowGo1.py:948).
-        # The Perlin heights are in [0, zScale+] (mean ~+0.09 m), so the
-        # absolute check is ~0.09 m more permissive than a terrain-
-        # relative one — which is what makes the spawn sag survivable.
-        z_term = robot.q[:, 2] < cfg.termination.z_threshold
-        # contact-force termination (widowGo1.py:940); released config has
-        # terminate_after_contacts_on = [] so this is pruned by default
-        if self.termination_bodies.shape[0]:
-            term_f = jnp.linalg.norm(
-                state.body_forces[:, self.termination_bodies], axis=-1)
-            contact_term = jnp.any(term_f > 1.0, axis=-1)
-        else:
-            contact_term = jnp.zeros((N,), bool)
+        r_term, p_term, z_term, contact_term = self.check_termination(
+            state, roll, pitch, curr_goal)
         time_out = episode_length > self.max_episode_length
         # blow-up guard (no reference analogue — PhysX clamps internally):
         # non-finite state or a ballistic base never satisfies the NaN-
@@ -887,6 +872,32 @@ class WidowGo1Env:
         broadcast = jnp.repeat(prop[:, None, :], cfg.env.history_len, axis=1)
         obs_history = jnp.where(first, broadcast, rolled)
         return obs, obs_history
+
+    def check_termination(self, state: EnvState, roll, pitch, curr_goal):
+        """Goal-conditioned roll/pitch + absolute-z + contact-force
+        termination causes (widowGo1.py:937-963), separated from step for
+        direct testability (the reference's check_termination method)."""
+        cfg = self.cfg
+        robot = state.robot
+        N = robot.q.shape[0]
+        r_term = ((roll > 0.2) & (curr_goal[:, 2] >= 0)) | (
+            (roll < -0.2) & (curr_goal[:, 2] <= 0))
+        p_term = ((pitch > 0.2) & (curr_goal[:, 1] >= 0)) | (
+            (pitch < -0.2) & (curr_goal[:, 1] <= 0))
+        # ABSOLUTE root z, exactly as the reference (widowGo1.py:948).
+        # The Perlin heights are in [0, zScale+] (mean ~+0.09 m), so the
+        # absolute check is ~0.09 m more permissive than a terrain-
+        # relative one — which is what makes the spawn sag survivable.
+        z_term = robot.q[:, 2] < cfg.termination.z_threshold
+        # contact-force termination (widowGo1.py:940); released config has
+        # terminate_after_contacts_on = [] so this is pruned by default
+        if self.termination_bodies.shape[0]:
+            term_f = jnp.linalg.norm(
+                state.body_forces[:, self.termination_bodies], axis=-1)
+            contact_term = jnp.any(term_f > 1.0, axis=-1)
+        else:
+            contact_term = jnp.zeros((N,), bool)
+        return r_term, p_term, z_term, contact_term
 
     def _rewards(self, state: EnvState, base_lin_vel, base_ang_vel,
                  base_yaw_quat, ee_pos, ee_orn, curr, reset_buf, time_out,

@@ -168,14 +168,30 @@ class TestFullRewardSurface:
         assert len(env.reward_names) == len(dataclasses.fields(RewardScalesCfg))
         assert len(env.arm_reward_names) == len(
             dataclasses.fields(ArmRewardScalesCfg))
+        # evaluate the full reward library directly on the reset state:
+        # the 59k-op physics graph is IDENTICAL to the default config's
+        # (reward scales only change the assembly tail), so stepping here
+        # would recompile ~6 min of physics for zero extra coverage
         state, obs = env.reset(jax.random.PRNGKey(0))
-        state, out = env.step(state, jnp.zeros((4, 18)), jnp.asarray(1.0))
-        assert np.isfinite(np.asarray(out.rew)).all()
-        assert np.isfinite(np.asarray(out.arm_rew)).all()
-        assert np.isfinite(np.asarray(out.obs)).all()
+        N = 4
+        curr = {"tracking_ang_vel_yaw_exp": jnp.asarray(0.5),
+                "tracking_ee": jnp.asarray(0.5)}
+        base_quat = state.robot.q[:, 3:7]
+        yaw = maths.euler_from_quat(base_quat)[2]
+        base_yaw_quat = maths.quat_from_euler_xyz(0 * yaw, 0 * yaw, yaw)
+        rew, arm_rew, ep, met, _, _ = env._rewards(
+            state, jnp.zeros((N, 3)), jnp.zeros((N, 3)), base_yaw_quat,
+            ee_pos=state.robot.q[:, :3] + jnp.asarray([0.4, 0.0, 0.2]),
+            ee_orn=jnp.tile(jnp.asarray([0.0, 0.7071068, 0.0, 0.7071068]),
+                            (N, 1)),
+            curr=curr, reset_buf=jnp.zeros((N,), bool),
+            time_out=jnp.zeros((N,), bool),
+            foot_forces_sensor=state.foot_forces)
+        assert np.isfinite(np.asarray(rew)).all()
+        assert np.isfinite(np.asarray(arm_rew)).all()
         # every enabled term accumulated an episode sum entry
         for k in env.reward_names + env.arm_reward_names:
-            assert k in state.episode_sums
+            assert k in ep
 
     def test_contact_termination_enables(self):
         """terminate_after_contacts_on wires contact-force termination
@@ -187,6 +203,19 @@ class TestFullRewardSurface:
             asset=AssetCfg(terminate_after_contacts_on=("trunk", "wx250")))
         env = WidowGo1Env(cfg, num_envs=4, seed=0)
         assert env.termination_bodies.shape[0] > 0
+        # drive check_termination directly (the step-side physics graph is
+        # config-independent; see test_every_reference_scale_enables)
         state, obs = env.reset(jax.random.PRNGKey(0))
-        state, out = env.step(state, jnp.zeros((4, 18)), jnp.asarray(1.0))
-        assert np.asarray(out.reset).dtype == bool
+        zeros = jnp.zeros((4,))
+        goal = jnp.tile(jnp.asarray([0.5, 0.0, 0.0]), (4, 1))
+        r_t, p_t, z_t, c_t = env.check_termination(state, zeros, zeros, goal)
+        assert not bool(jnp.any(c_t))  # no contact force on term bodies yet
+        forced = state.replace(body_forces=state.body_forces.at[
+            0, env.termination_bodies[0]].set(jnp.asarray([0.0, 0.0, 50.0])))
+        _, _, _, c_t2 = env.check_termination(forced, zeros, zeros, goal)
+        assert bool(c_t2[0]) and not bool(jnp.any(c_t2[1:]))
+        # goal-conditioned roll/pitch signs (widowGo1.py:942-947)
+        roll = jnp.asarray([0.3, -0.3, 0.3, 0.0])
+        goal_side = jnp.tile(jnp.asarray([0.5, 0.1, 0.1]), (4, 1))
+        r_t3, _, _, _ = env.check_termination(state, roll, zeros, goal_side)
+        assert bool(r_t3[0]) and not bool(r_t3[1]) and not bool(r_t3[3])
