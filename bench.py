@@ -55,8 +55,7 @@ def measure(num_envs: int, steps: int, iters: int, trace_dir=None):
     try:
         coll = runner.rollout._collect_jit.lower(
             runner.ppo_state.params, runner.env_state, runner.obs,
-            jax.numpy.zeros(()), runner.key,
-            jax.numpy.asarray(False)).compile()
+            jax.numpy.zeros(()), runner.key, False).compile()
         ca = coll.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops_per_iter += float(ca.get("flops", 0.0))

@@ -27,6 +27,7 @@ reference never had, SURVEY.md §2.5).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -229,14 +230,20 @@ def update(
     B = T * N
     mb_size = B // cfg.num_mini_batches
 
-    flat = jax.tree.map(lambda x: x.reshape((B,) + x.shape[2:]), traj)
-    f_returns = returns.reshape(B, -1)
-    f_adv = advantages.reshape(B, -1)
-
     if axis_name is not None:
         # decorrelate the per-device local permutations
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
     perm = jax.random.permutation(key, B)
+
+    # Permute the whole batch ONCE, then minibatches are contiguous
+    # slices: the reference reuses a single randperm for all epochs
+    # (rollout_storage.py:163), so gathering per minibatch step (5 epochs
+    # x full-batch gather traffic, measured ~100 ms/update in the r4
+    # trace) buys nothing over one up-front gather.
+    flat = jax.tree.map(
+        lambda x: x.reshape((B,) + x.shape[2:])[perm], traj)
+    f_returns = returns.reshape(B, -1)[perm]
+    f_adv = advantages.reshape(B, -1)[perm]
     mix = mixing_ratio(cfg, state.counter)
     reg_coef = priv_reg_coef(cfg, state.counter)
     ts_weight = torque_supervision_weight(cfg, state.counter)
@@ -328,20 +335,22 @@ def update(
         aux["kl_mean"] = jax.lax.stop_gradient(kl.mean())
         return loss, aux
 
-    def minibatch_step(carry, idx_slice):
+    def minibatch_step(carry, start):
         params, opt_state, lr, metrics = carry
+        sl = functools.partial(jax.lax.dynamic_slice_in_dim,
+                               start_index=start, slice_size=mb_size, axis=0)
         mb = {
-            "obs": flat.obs[idx_slice],
-            "actions": flat.actions[idx_slice],
-            "logp": flat.log_probs[idx_slice],
-            "values": flat.values[idx_slice],
-            "mu": flat.mu[idx_slice],
-            "sigma": flat.sigma[idx_slice],
-            "returns": f_returns[idx_slice],
-            "adv": f_adv[idx_slice],
-            "arm_tau": flat.target_arm_torques[idx_slice],
-            "arm_pos": flat.current_arm_dof_pos[idx_slice],
-            "arm_vel": flat.current_arm_dof_vel[idx_slice],
+            "obs": sl(flat.obs),
+            "actions": sl(flat.actions),
+            "logp": sl(flat.log_probs),
+            "values": sl(flat.values),
+            "mu": sl(flat.mu),
+            "sigma": sl(flat.sigma),
+            "returns": sl(f_returns),
+            "adv": sl(f_adv),
+            "arm_tau": sl(flat.target_arm_torques),
+            "arm_pos": sl(flat.current_arm_dof_pos),
+            "arm_vel": sl(flat.current_arm_dof_vel),
         }
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, mb, lr)
@@ -376,11 +385,9 @@ def update(
     carry = (params, opt_state, lr, zero_metrics)
     # same permutation reused every epoch, like the reference's single
     # randperm (rollout_storage.py:163); scan keeps the compiled graph small
-    idx_mat = jnp.tile(
-        perm[: cfg.num_mini_batches * mb_size].reshape(cfg.num_mini_batches,
-                                                       mb_size),
-        (cfg.num_learning_epochs, 1))
-    carry, _ = jax.lax.scan(minibatch_step, carry, idx_mat)
+    starts = jnp.tile(jnp.arange(cfg.num_mini_batches) * mb_size,
+                      cfg.num_learning_epochs)
+    carry, _ = jax.lax.scan(minibatch_step, carry, starts)
     params, opt_state, lr, metrics = carry
 
     # min-std floor (ppo.py:293-296)
@@ -425,10 +432,10 @@ def update_dagger(
     T, N = traj.dones.shape
     B = T * N
     mb_size = B // cfg.num_mini_batches
-    flat_obs = traj.obs.reshape(B, -1)
     if axis_name is not None:
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
     perm = jax.random.permutation(key, B)
+    flat_obs = traj.obs.reshape(B, -1)[perm]  # one gather (see update)
 
     def loss_fn(params, obs):
         priv = jax.lax.stop_gradient(
@@ -436,21 +443,20 @@ def update_dagger(
         hist = model.apply(params, obs, method="hist_latent")
         return jnp.sqrt(jnp.sum(jnp.square(priv - hist), -1) + 1e-12).mean()
 
-    def mb_step(carry, idx):
+    def mb_step(carry, start):
         params, opt_state, total = carry
-        loss, grads = jax.value_and_grad(loss_fn)(params, flat_obs[idx])
+        obs_mb = jax.lax.dynamic_slice_in_dim(flat_obs, start, mb_size, 0)
+        loss, grads = jax.value_and_grad(loss_fn)(params, obs_mb)
         if axis_name is not None:
             loss, grads = jax.lax.pmean((loss, grads), axis_name)
         updates, opt_state = hist_tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state, total + loss), None
 
-    idx_mat = jnp.tile(
-        perm[: cfg.num_mini_batches * mb_size].reshape(cfg.num_mini_batches,
-                                                       mb_size),
-        (cfg.num_learning_epochs, 1))
+    starts = jnp.tile(jnp.arange(cfg.num_mini_batches) * mb_size,
+                      cfg.num_learning_epochs)
     (params, opt_state, total), _ = jax.lax.scan(
-        mb_step, (state.params, state.hist_opt_state, jnp.zeros(())), idx_mat)
+        mb_step, (state.params, state.hist_opt_state, jnp.zeros(())), starts)
     n_updates = cfg.num_learning_epochs * cfg.num_mini_batches
     metrics = {"hist_latent_loss": total / n_updates}
     new_state = state.replace(params=params, hist_opt_state=opt_state,

@@ -64,20 +64,21 @@ class Rollout:
 
         # donate the env-state pytree: the rollout consumes the previous
         # state and the caller only keeps the returned one; donation lets
-        # XLA alias the (large) state buffers instead of double-buffering
-        self._collect_jit = jax.jit(self._collect_impl, donate_argnums=(1,))
+        # XLA alias the (large) state buffers instead of double-buffering.
+        # hist_encoding is STATIC (r4): as a traced bool the jnp.where
+        # latent select ran BOTH the history-conv and priv encoders every
+        # rollout step; two compiled variants (cached) beat dead compute
+        # in the hot loop.
+        self._collect_jit = jax.jit(self._collect_impl, donate_argnums=(1,),
+                                    static_argnums=(5,))
         self._learn = jax.jit(functools.partial(self._learn_impl, False))
         self._learn_dagger = jax.jit(functools.partial(self._learn_impl, True))
 
     # -- rollout ------------------------------------------------------
 
     def collect(self, params, env_state, obs, counter, key, hist_encoding):
-        # hist_encoding is a TRACED bool (latent select inside the actor):
-        # one compiled rollout serves both the PPO and DAgger phases —
-        # the fused-physics scan is by far the biggest graph in the
-        # program and would otherwise compile twice.
         return self._collect_jit(params, env_state, obs, counter, key,
-                                 jnp.asarray(hist_encoding))
+                                 bool(hist_encoding))
 
     def _collect_impl(self, params, env_state, obs, counter, key,
                       hist_encoding):
@@ -381,14 +382,20 @@ class OnPolicyRunner:
     def _log(self, it, metrics, stats, nres, collection_time, learn_time):
         fps = int(self.rollout.num_steps * self.env.num_envs
                   / max(collection_time + learn_time, 1e-9))
+        # ONE host transfer for the ~75 logged scalars: per-scalar float()
+        # conversions each paid a device round-trip (~0.3 s/iteration of
+        # pure host sync measured in the r4 bench — 28% of iteration time)
+        metrics, stats, nres, std, lr = jax.device_get(
+            (metrics, stats, nres, self.ppo_state.params["params"]["std"],
+             self.ppo_state.learning_rate))
         nres = max(int(nres), 1)
-        std = np.asarray(self.ppo_state.params["params"]["std"])
+        std = np.asarray(std)
         d = {
             "it": it,
             "Perf/total_fps": fps,
             "Perf/collection time": collection_time,
             "Perf/learning_time": learn_time,
-            "Loss/learning_rate": float(self.ppo_state.learning_rate),
+            "Loss/learning_rate": float(lr),
             "Policy/leg_mean_noise_std": float(std[:12].mean()),
             "Policy/arm_mean_noise_std": (float(std[12:].mean())
                                           if std.shape[0] > 12 else 0.0),

@@ -978,13 +978,16 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
             return (qc, qdc, tc, cfc, bxc), (gf, tau_arr)
 
         tc0 = tau_carry if tau_carry is not None else jnp.zeros(())
-        # opt-in: straight-lining the 4 substeps removes the scan's
-        # scoped-memory carry staging, but the XLA compile of the 4x graph
-        # exceeded 25 min on this 2-core host — scan stays the default
-        unroll = os.environ.get("DWBC_UNROLL", "0") == "1"
-        if n_steps > 1 and not unroll:
+        # DWBC_UNROLL=k: unroll factor for the substep scan. k>=n_steps
+        # straight-lines everything (removes ALL carry staging but the
+        # XLA compile of the 4x graph exceeded 25 min on the 2-core CPU
+        # host); intermediate k trades carry staging against compile time
+        # via lax.scan's native unroll.
+        unroll = int(os.environ.get("DWBC_UNROLL", "0") or 0)
+        if n_steps > 1 and unroll < n_steps:
             (qc, qdc, tc_out, cf_out, bx_out), (gf_all, tau_all) = jax.lax.scan(
-                scan_body, (qc, qdc, tc0, cf0, bx0), None, length=n_steps)
+                scan_body, (qc, qdc, tc0, cf0, bx0), None, length=n_steps,
+                unroll=max(unroll, 1))
             gf_last, tau_last = gf_all[-1], tau_all[-1]
         else:
             # unrolled: a 4-substep lax.scan stages its (hundreds-of-leaves)
