@@ -215,3 +215,40 @@ def rand_sqrt_uniform(key, shape, lo, hi):
     r = jax.random.uniform(key, shape, minval=-1.0, maxval=1.0)
     r = jnp.where(r < 0, -jnp.sqrt(-r), jnp.sqrt(r))
     return (r + 1.0) / 2.0 * (hi - lo) + lo
+
+
+# ---------------------------------------------------------------------------
+# small-matrix linear algebra (unrolled; jnp.linalg LU/SVD loop on TPU)
+
+
+def solve_spd(A, b):
+    """Solve A x = b for a small SPD matrix via trace-time-unrolled
+    Cholesky (n is static, e.g. 6 for the OSC task-space inertia).
+    jnp.linalg.solve's batched LU runs as a device loop on TPU and cost
+    ~80 ms per 4096-env call in the r4 adaptive-variant profile; this
+    unrolls to pure elementwise ops that XLA fuses. b may be (n,) or
+    (n, k)."""
+    n = A.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)

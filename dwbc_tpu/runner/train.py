@@ -38,6 +38,10 @@ def main():
                     help="force all curricula/regularizer schedules to their "
                          "terminal values (the reference's RESUME=True "
                          "semantics, widowGo1_config.py:35)")
+    ap.add_argument("--ts_weight", type=float, default=None,
+                    help="override torque_supervision_schedule[0] (the "
+                         "reference ships 0.0, ppo.py:304; a nonzero value "
+                         "actually trains the OSC supervision loss)")
     ap.add_argument("--terminal_mixing", action="store_true",
                     help="advantage-mixing ratio kappa=1 from iteration 0 "
                          "(the reference's RESUME-mode mixing_schedule="
@@ -82,6 +86,9 @@ def main():
     if args.terminal_mixing:
         # reference RESUME-mode mixing (widowGo1_config.py:360)
         ppo_overrides["mixing_schedule"] = (1.0, 0.0, 1.0)
+    if args.ts_weight is not None:
+        ppo_overrides["torque_supervision_schedule"] = (
+            args.ts_weight, 1000.0, 1000.0)
     env, runner, spec = make_runner(args.task, num_envs=args.num_envs,
                                     seed=args.seed, log_dir=log_dir,
                                     mesh=mesh,

@@ -295,26 +295,34 @@ def crba(
     Xf = [None] + [spatial.x_force(j_rot[i], j_pos[i]) for i in range(1, nb)]
     Xm_inv = [None] + [spatial.x_motion_inv(j_rot[i], j_pos[i]) for i in range(1, nb)]
 
-    M = jnp.zeros((nv, nv), q.dtype)
+    # accumulate entries as traced scalars and assemble with ONE stack:
+    # the previous .at[].set() chain was ~100 separate dynamic-update-
+    # slice ops, each a full (nv, nv) buffer pass per env under vmap
+    # (~tens of ms per 4096-env call in the r4 adaptive profile)
+    zero = jnp.zeros((), q.dtype)
+    rows = [[zero] * nv for _ in range(nv)]
     armature = jnp.asarray(model.dof_armature)
     for i in range(nb - 1, 0, -1):
         p = int(model.parent[i])
         Ic[p] = Ic[p] + Xf[i] @ Ic[i] @ Xm_inv[i]
         F = Ic[i] @ S[i]
-        M = M.at[6 + i - 1, 6 + i - 1].set(S[i] @ F + armature[i - 1])
+        rows[6 + i - 1][6 + i - 1] = S[i] @ F + armature[i - 1]
         jj = i
         while int(model.parent[jj]) > 0:
             pj = int(model.parent[jj])
             F = Xf[jj] @ F
-            M = M.at[6 + i - 1, 6 + pj - 1].set(S[pj] @ F)
-            M = M.at[6 + pj - 1, 6 + i - 1].set(S[pj] @ F)
+            rows[6 + i - 1][6 + pj - 1] = S[pj] @ F
+            rows[6 + pj - 1][6 + i - 1] = S[pj] @ F
             jj = pj
         # coupling with base
         F = Xf[jj] @ F
-        M = M.at[0:6, 6 + i - 1].set(F)
-        M = M.at[6 + i - 1, 0:6].set(F)
-    M = M.at[0:6, 0:6].set(Ic[0])
-    return M
+        for k in range(6):
+            rows[k][6 + i - 1] = F[k]
+            rows[6 + i - 1][k] = F[k]
+    for r in range(6):
+        for c in range(6):
+            rows[r][c] = Ic[0][r, c]
+    return jnp.stack([jnp.stack(r) for r in rows])
 
 
 def body_jacobian(
@@ -330,11 +338,18 @@ def body_jacobian(
     p_point = kin.pos[body] + kin.rot[body] @ offset
 
     nv = model.nv
-    J = jnp.zeros((6, nv), q.dtype)
-    # base columns: lin vel -> identity; ang vel w -> w x (p - p_base)
-    J = J.at[0:3, 0:3].set(jnp.eye(3, dtype=q.dtype))
-    J = J.at[0:3, 3:6].set(-spatial.skew(p_point - kin.pos[0]))
-    J = J.at[3:6, 3:6].set(jnp.eye(3, dtype=q.dtype))
+    # column-list assembly, one stack at the end (no dynamic-update-slice
+    # chain — see crba)
+    zero3 = jnp.zeros((3,), q.dtype)
+    lin_cols = [zero3] * nv
+    ang_cols = [zero3] * nv
+    eye = jnp.eye(3, dtype=q.dtype)
+    skew = spatial.skew(p_point - kin.pos[0])
+    for k in range(3):
+        # base columns: lin vel -> identity; ang vel w -> w x (p - p_base)
+        lin_cols[k] = eye[:, k]
+        lin_cols[3 + k] = -skew[:, k]
+        ang_cols[3 + k] = eye[:, k]
 
     # joint columns: walk ancestors of `body`
     axis = jnp.asarray(model.joint_axis)
@@ -342,9 +357,10 @@ def body_jacobian(
     while i > 0:
         ax_w = kin.rot[i] @ axis[i]
         if int(model.joint_type[i]) == 0:  # revolute
-            J = J.at[0:3, 6 + i - 1].set(jnp.cross(ax_w, p_point - kin.pos[i]))
-            J = J.at[3:6, 6 + i - 1].set(ax_w)
+            lin_cols[6 + i - 1] = jnp.cross(ax_w, p_point - kin.pos[i])
+            ang_cols[6 + i - 1] = ax_w
         else:  # prismatic
-            J = J.at[0:3, 6 + i - 1].set(ax_w)
+            lin_cols[6 + i - 1] = ax_w
         i = int(model.parent[i])
-    return J
+    return jnp.concatenate([jnp.stack(lin_cols, axis=-1),
+                            jnp.stack(ang_cols, axis=-1)], axis=0)
