@@ -299,6 +299,25 @@ def update(
             # (ppo.py:304-324 arm_fk_{fixed,adaptive}_gains)
             p_g, d_g, def_pos, a_scale = arm_default
             act_mean = mean  # same forward pass as the surrogate's
+            # NaN/blow-up-proofing (r3/r4 findings): transitions captured
+            # on a blow-up-guard step can carry non-finite or ballistic
+            # arm state and OSC targets, which used to poison the WHOLE
+            # loss even at ts_weight=0 (NaN*0=NaN, and inf entering the
+            # sqrt-gain backward). All three are rollout DATA (no grad
+            # path), so element-wise masking at source is exact: bad
+            # elements contribute 0 to both the loss and the gradient.
+            raw_tgt = mb["arm_tau"]
+            raw_pos, raw_vel = mb["arm_pos"], mb["arm_vel"]
+            # |target| < 100 Nm: the widow arm's effort limits are ~20 Nm,
+            # so larger OSC outputs only occur for tumbling/exploding
+            # states where the expert itself is meaningless — supervising
+            # on them swamps the sane samples by ~6 orders of magnitude
+            ok = (jnp.isfinite(raw_tgt) & (jnp.abs(raw_tgt) < 100.0)
+                  & jnp.isfinite(raw_pos) & (jnp.abs(raw_pos) < 1e3)
+                  & jnp.isfinite(raw_vel) & (jnp.abs(raw_vel) < 50.0))
+            tgt = jnp.where(ok, raw_tgt, 0.0)
+            arm_pos = jnp.where(ok, raw_pos, 0.0)
+            arm_vel = jnp.where(ok, raw_vel, 0.0)
             if cfg.adaptive_arm_gains:
                 target_pos = act_mean[:, 12:-6]
                 delta_p = act_mean[:, -6:]
@@ -311,16 +330,9 @@ def update(
             else:
                 target_pos = act_mean[:, -6:]
                 pg, dg = p_g, d_g
-            arm_tau = (pg * (target_pos * a_scale + def_pos - mb["arm_pos"])
-                       - dg * mb["arm_vel"])
-            # NaN-proofing (r3 finding): one non-finite OSC target used to
-            # poison the WHOLE loss even at ts_weight=0 (NaN*0=NaN) and
-            # every gradient with it. The target is data (no grad path),
-            # so masking on its finiteness is exact: bad elements
-            # contribute 0 to both the loss and the gradient.
-            tgt = mb["arm_tau"]
-            ok = jnp.isfinite(tgt)
-            err = jnp.where(ok, arm_tau - jnp.where(ok, tgt, 0.0), 0.0)
+            arm_tau = (pg * (target_pos * a_scale + def_pos - arm_pos)
+                       - dg * arm_vel)
+            err = jnp.where(ok, arm_tau - tgt, 0.0)
             denom = jnp.maximum(jnp.sum(ok), 1)
             ts_loss = jnp.sum(jnp.square(err)) / denom
             loss = loss + ts_loss * ts_weight
