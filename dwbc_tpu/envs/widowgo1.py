@@ -241,23 +241,34 @@ class WidowGo1Env:
     # ------------------------------------------------------------------
     # curriculum (pure; mirrors widowGo1.py:675-692)
 
+    # When True, the two REWARD-SCALE curricula (tracking_ee,
+    # tracking_ang_vel_yaw_exp) are pinned at their terminal values while
+    # the range curricula still follow the counter. Used by schedule-
+    # restarted resumes (r4): replaying the reward-scale ramp on a policy
+    # whose value function already prices the terminal arm reward
+    # re-creates the net-negative-life suicide trap (measured:
+    # r4_widow_v2 first attempt collapsed 100 -> 9.7 episode length).
+    terminal_reward_scales = False
+
     def curriculum(self, counter):
         c = self.cfg.commands
         g = self.cfg.goal_ee
         cnt = jnp.asarray(counter, jnp.float32)
+        scale_cnt = (jnp.asarray(jnp.inf, jnp.float32)
+                     if self.terminal_reward_scales else cnt)
         return dict(
             lin_vel_x=_lerp_sched(cnt, c.lin_vel_x_schedule,
                                   jnp.asarray(c.init_lin_vel_x), c.final_lin_vel_x),
             ang_vel_yaw=_lerp_sched(cnt, c.ang_vel_yaw_schedule,
                                     jnp.asarray(c.init_ang_vel_yaw), c.final_ang_vel_yaw),
             tracking_ang_vel_yaw_exp=_lerp_sched(
-                cnt, c.tracking_ang_vel_yaw_schedule, 0.0,
+                scale_cnt, c.tracking_ang_vel_yaw_schedule, 0.0,
                 c.final_tracking_ang_vel_yaw_exp),
             goal_ee_l=_lerp_sched(cnt, g.l_schedule, jnp.asarray(g.init_pos_l), g.final_pos_l),
             goal_ee_p=_lerp_sched(cnt, g.p_schedule, jnp.asarray(g.init_pos_p), g.final_pos_p),
             goal_ee_y=_lerp_sched(cnt, g.y_schedule, jnp.asarray(g.init_pos_y), g.final_pos_y),
-            tracking_ee=_lerp_sched(cnt, g.tracking_ee_reward_schedule, 0.0,
-                                    g.final_tracking_ee_reward),
+            tracking_ee=_lerp_sched(scale_cnt, g.tracking_ee_reward_schedule,
+                                    0.0, g.final_tracking_ee_reward),
         )
 
     # ------------------------------------------------------------------

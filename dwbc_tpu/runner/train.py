@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace of iterations 5-8 "
                          "into <log_dir>/profile")
+    ap.add_argument("--reset_schedules", action="store_true",
+                    help="after --resume, restart the iteration counter so "
+                         "every schedule (advantage-mixing kappa ramp, "
+                         "command/EE curricula, priv-reg) replays from 0 "
+                         "while keeping the loaded weights — the reference "
+                         "recipe's early phase applied to a resumed policy")
     ap.add_argument("--terminal_schedules", action="store_true",
                     help="force all curricula/regularizer schedules to their "
                          "terminal values (the reference's RESUME=True "
@@ -98,6 +104,19 @@ def main():
             os.path.join(args.log_root, TASKS[args.task].experiment_name))
         print(f"resuming from {ckpt}")
         runner.load(ckpt)
+        if args.reset_schedules:
+            import jax.numpy as jnp
+            runner.it = 0
+            runner.ppo_state = runner.ppo_state.replace(
+                counter=jnp.zeros_like(runner.ppo_state.counter))
+            # range curricula + kappa replay from 0, but the REWARD-SCALE
+            # curricula stay terminal: replaying the arm-reward ramp on a
+            # value function that already prices it re-creates the
+            # net-negative-life suicide trap (see env.curriculum)
+            if hasattr(env, "terminal_reward_scales"):
+                env.terminal_reward_scales = True
+            print("schedules reset: ranges/kappa replay from 0; "
+                  "reward-scale curricula pinned terminal")
     if args.terminal_schedules:
         runner.force_terminal_schedules()
     if runner.is_main:
