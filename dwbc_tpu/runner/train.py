@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace of iterations 5-8 "
                          "into <log_dir>/profile")
+    ap.add_argument("--reset_std", action="store_true",
+                    help="after --resume, reset the learned per-joint "
+                         "policy std to its init values (exploration "
+                         "re-warm: a policy annealed to the min_policy_std "
+                         "floor cannot discover new behaviors)")
     ap.add_argument("--reset_schedules", action="store_true",
                     help="after --resume, restart the iteration counter so "
                          "every schedule (advantage-mixing kappa ramp, "
@@ -104,6 +109,14 @@ def main():
             os.path.join(args.log_root, TASKS[args.task].experiment_name))
         print(f"resuming from {ckpt}")
         runner.load(ckpt)
+        if args.reset_std:
+            import jax.numpy as jnp
+            params = dict(runner.ppo_state.params)
+            inner = dict(params["params"])
+            inner["std"] = jnp.asarray(runner.model.init_std, jnp.float32)
+            params["params"] = inner
+            runner.ppo_state = runner.ppo_state.replace(params=params)
+            print(f"policy std reset to init {runner.model.init_std}")
         if args.reset_schedules:
             import jax.numpy as jnp
             runner.it = 0
