@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace of iterations 5-8 "
                          "into <log_dir>/profile")
+    ap.add_argument("--leg_min_std", type=float, default=None,
+                    help="override the min_policy_std floor for the 12 leg "
+                         "dofs (reference mechanism, ppo.py:293-296; the "
+                         "released floor is [0.15,0.25,0.25]*4). A raised "
+                         "floor keeps exploration alive against the "
+                         "surrogate's std collapse")
     ap.add_argument("--reset_std", action="store_true",
                     help="after --resume, reset the learned per-joint "
                          "policy std to its init values (exploration "
@@ -100,6 +106,11 @@ def main():
     if args.ts_weight is not None:
         ppo_overrides["torque_supervision_schedule"] = (
             args.ts_weight, 1000.0, 1000.0)
+    if args.leg_min_std is not None:
+        from ..rl.ppo import PPOConfig
+        base = PPOConfig().min_policy_std
+        ppo_overrides["min_policy_std"] = (
+            (args.leg_min_std,) * 12 + tuple(base[12:]))
     env, runner, spec = make_runner(args.task, num_envs=args.num_envs,
                                     seed=args.seed, log_dir=log_dir,
                                     mesh=mesh,
