@@ -157,6 +157,18 @@ class WidowGo1Env:
         # gains / scales (hardware dof order)
         self.p_gains = jnp.asarray(cfg.control.stiffness)        # (18,)
         self.d_gains = jnp.asarray(cfg.control.damping)          # (18,)
+        # opt-in gravity-droop compensation (r4; default OFF = reference
+        # parity): explicit PD at kp=50 droops tau_g/kp ~ 0.1-0.3 rad
+        # under gravity, sagging the stance ~8 cm below the default-pose
+        # height and onto the absolute z=0.325 termination knife-edge
+        # (REPORT r4 §1). Adding tau_g(q_default)/kp to the PD target
+        # moves the standing equilibrium to the pose the config's
+        # default_joint_angles actually describe.
+        self._q_ref = q_ref
+        self.droop_comp = jnp.zeros(18)
+        self.spawn_relative = False  # see _reset_root_states
+        if getattr(cfg.control, "droop_compensation", False):
+            self.enable_droop_compensation()
         self.action_scale = jnp.asarray(cfg.control.action_scale)
         self.torque_limits = jnp.asarray(self.model.dof_effort)  # (20,)
         self.dt = cfg.dt
@@ -526,7 +538,17 @@ class WidowGo1Env:
         # feet can start below ground on high cells — the contact law's
         # max_depen_vel surfaces them gently, as PhysX does
         # (legged_robot_config.py:196).
-        base_z = jnp.full_like(ground, cfg.init_state.pos[2])
+        if self.spawn_relative:
+            # r4 opt-in divergence (--spawn_relative): terrain-relative
+            # spawn at ground + 0.40 ~= stance height + 1.5 cm. The
+            # reference's ABSOLUTE 0.42 gives the deepest drop (~10 cm)
+            # exactly on the low cells with the least z-margin, and the
+            # landing transient terminates ~33% of fresh spawns within 13
+            # steps via roll/pitch excursion or the z dip (measured,
+            # REPORT r4 §1) — which is what makes exploration lethal.
+            base_z = ground + 0.40
+        else:
+            base_z = jnp.full_like(ground, cfg.init_state.pos[2])
         q = jnp.zeros((N, m.nq)).at[:, 0:2].set(base_xy).at[:, 2].set(base_z)
         q = q.at[:, 6].set(1.0).at[:, 7:].set(dof_pos)
         qd = jnp.zeros((N, m.nv))
@@ -587,7 +609,7 @@ class WidowGo1Env:
         action dims are per-env arm kp deltas, kd = 2*sqrt(kp)
         (widowGo1.py:1283-1288)."""
         scaled = actions[:, :18] * motor_strength * self.action_scale
-        target = scaled + self.default_dof_pos[None, :18]
+        target = scaled + self.default_dof_pos[None, :18] + self.droop_comp
         if self.cfg.control.adaptive_arm_gains:
             delta_p = actions[:, 18:24]
             arm_p = jnp.maximum(self.p_gains[12:] + delta_p, 0.0)
@@ -883,6 +905,39 @@ class WidowGo1Env:
         broadcast = jnp.repeat(prop[:, None, :], cfg.env.history_len, axis=1)
         obs_history = jnp.where(first, broadcast, rolled)
         return obs, obs_history
+
+    def enable_droop_compensation(self):
+        """Set the LEG PD-target gravity compensation (see __init__
+        comment). Standing legs feel gravity through the CONTACT
+        reaction, not the free-base bias: tau_leg = J_foot^T f with each
+        foot carrying ~W/4. The arm dofs are left uncompensated — the
+        policy's learned arm behavior already offsets its droop, and
+        shifting arm targets by tau_g/kp (0.38 rad at kp=5) would change
+        reach semantics under a resumed policy. Must be called before
+        the step function is first traced."""
+        m = self.model
+        base_inert = dynamics.default_inertial(m)
+        weight = float(jnp.sum(base_inert.mass)) * 9.81
+        f_foot = jnp.asarray([0.0, 0.0, weight / 4.0])
+        droop = [0.0] * 18
+        geom_body = np.asarray(m.geom_body)
+        geom_off = np.asarray(m.geom_pos)
+        for g in np.asarray(self.feet_geoms):
+            b = int(geom_body[g])
+            J = dynamics.body_jacobian(m, self._q_ref, b,
+                                       jnp.asarray(geom_off[g]))
+            # the 3 joints of this leg: ancestors of the calf body
+            cols = []
+            i = b
+            while i > 0 and len(cols) < 3:
+                cols.append(6 + i - 1)
+                i = int(m.parent[i])
+            for c in cols:
+                j = c - 6
+                if j < 12:  # leg dofs only
+                    tau = float(J[0:3, c] @ f_foot)
+                    droop[j] = tau / float(self.p_gains[j])
+        self.droop_comp = jnp.asarray(droop)
 
     def check_termination(self, state: EnvState, roll, pitch, curr_goal):
         """Goal-conditioned roll/pitch + absolute-z + contact-force

@@ -34,6 +34,16 @@ def main():
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace of iterations 5-8 "
                          "into <log_dir>/profile")
+    ap.add_argument("--spawn_relative", action="store_true",
+                    help="widowGo1 family: spawn at terrain + 0.40 m "
+                         "instead of the reference's absolute 0.42 m — "
+                         "removes the landing transient that kills ~33% "
+                         "of fresh spawns within 13 steps (REPORT r4 §1)")
+    ap.add_argument("--droop_comp", action="store_true",
+                    help="gravity-droop-compensated PD targets (widowGo1 "
+                         "family): stand at the default-pose height the "
+                         "config describes instead of sagging tau_g/kp "
+                         "below it (REPORT r4 §1 — the z-knife-edge)")
     ap.add_argument("--leg_min_std", type=float, default=None,
                     help="override the min_policy_std floor for the 12 leg "
                          "dofs (reference mechanism, ppo.py:293-296; the "
@@ -115,6 +125,19 @@ def main():
                                     seed=args.seed, log_dir=log_dir,
                                     mesh=mesh,
                                     ppo_overrides=ppo_overrides or None)
+    if args.droop_comp:
+        if not hasattr(env, "enable_droop_compensation"):
+            raise SystemExit("--droop_comp is only available for the "
+                             "widowGo1 task family")
+        env.enable_droop_compensation()
+        print("droop compensation ON:",
+              [round(float(x), 3) for x in env.droop_comp])
+    if args.spawn_relative:
+        if not hasattr(env, "spawn_relative"):
+            raise SystemExit("--spawn_relative is only available for the "
+                             "widowGo1 task family")
+        env.spawn_relative = True
+        print("terrain-relative spawn ON (ground + 0.40 m)")
     if args.resume:
         ckpt = args.checkpoint or _latest_checkpoint(
             os.path.join(args.log_root, TASKS[args.task].experiment_name))
