@@ -25,15 +25,17 @@ preserving):
     box coupling) plus box-terrain contact, so it genuinely interacts;
   * (divergence REMOVED in r2) z-termination compares ABSOLUTE root z
     against z_threshold=0.325, exactly like the reference
-    (widowGo1.py:948). This is load-bearing, not an arbitrary frame
-    choice: the Perlin noise is mapped to [0, 1]*zScale
+    (widowGo1.py:948). The Perlin noise is mapped to [0, 1]*zScale
     (terrain.py:86 `* 0.5 + 0.5`), so terrain heights are NON-NEGATIVE
-    with mean ~= +0.09 m. A PD-held robot sags to ~0.25 m above local
-    ground (kp=50 is soft; MuJoCo golden agrees within 28 mm), i.e. to
-    ~0.34 m ABSOLUTE on average terrain — the absolute check passes for
-    a sagged stance while a terrain-RELATIVE check with the same 0.325
-    threshold would terminate every env within ~7 policy steps of
-    spawn (measured: that exact storm made the task unlearnable).
+    with mean ~= +0.075 m. r4 correction to the r2-era numbers: with
+    the r3 contact law the zero-action steady stance is 0.384 m above
+    local ground (droop at kp=50 is negligible); the z-risk comes from
+    the 0.42-absolute spawn's landing transient (~33% of fresh spawns
+    terminate within 13 steps via touchdown roll/pitch excursion or the
+    settle dip — worst on low cells, 100% on the flat variant) and from
+    the trained policy's learned crouch (~0.29 relative). The opt-in
+    `spawn_relative` flag (ground + 0.40) removes the transient deaths;
+    see REPORT r4 §1.
 """
 
 from __future__ import annotations
