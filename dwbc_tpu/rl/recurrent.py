@@ -14,6 +14,7 @@ the env dimension, which never splits a trajectory.
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 from typing import Dict, NamedTuple
@@ -51,12 +52,18 @@ class RecurrentPPO:
     jitted env (single-head action space, locomotion family)."""
 
     def __init__(self, env, model: ActorCriticRecurrent,
-                 cfg: ppo_lib.PPOConfig, num_steps: int = 24):
+                 cfg: ppo_lib.PPOConfig, num_steps: int = 24, mesh=None):
         assert cfg.num_heads == 1, "recurrent path is single-head"
         self.env = env
         self.model = model
         self.cfg = cfg
         self.num_steps = num_steps
+        # >1-device ('data',) mesh => the epoch scan runs under shard_map
+        # with device-local env minibatches + pmean'd grads/KL, mirroring
+        # OnPolicyRunner (rl/runner.py); GAE + global advantage norm stay
+        # outside shard_map so the batch-wide mean/std become collectives.
+        self.mesh = mesh if (mesh is not None
+                             and mesh.devices.size > 1) else None
         self._collect = jax.jit(self._collect_impl)
         self._update = jax.jit(self._update_impl)
 
@@ -103,10 +110,9 @@ class RecurrentPPO:
     def _update_impl(self, ppo_state, traj: RecurrentTransition, h0,
                      last_values, key):
         cfg = self.cfg
-        tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
-                         optax.scale_by_adam())
 
-        # GAE identical to the feedforward path
+        # GAE identical to the feedforward path (outside shard_map: the
+        # global advantage mean/std reduce to collectives under shardings)
         fake = ppo_lib.Transition(
             obs=traj.obs, actions=traj.actions, rewards=traj.rewards,
             dones=traj.dones, time_outs=traj.time_outs, values=traj.values,
@@ -114,6 +120,30 @@ class RecurrentPPO:
             target_arm_torques=None, current_arm_dof_pos=None,
             current_arm_dof_vel=None)
         returns, advantages = ppo_lib.compute_gae(cfg, fake, last_values)
+
+        if self.mesh is None:
+            return self._epochs(ppo_state, traj, h0, returns, advantages,
+                                key, axis=None)
+        from jax.sharding import PartitionSpec as P
+        shard_map = getattr(jax, "shard_map", None)
+        if shard_map is None:  # older jax
+            from jax.experimental.shard_map import shard_map
+        env_d1 = P(None, "data")   # (T, N, ...) leaves
+        fn = functools.partial(self._epochs, axis="data")
+        return shard_map(
+            fn, mesh=self.mesh,
+            in_specs=(P(), env_d1, P("data"), env_d1, env_d1, P()),
+            out_specs=(P(), P()),
+        )(ppo_state, traj, h0, returns, advantages, key)
+
+    def _epochs(self, ppo_state, traj: RecurrentTransition, h0,
+                returns, advantages, key, axis=None):
+        """Epoch/minibatch scan. Under shard_map `axis` is the mesh axis
+        name: shapes here are device-local and grads/KL/metrics are
+        pmean'd so params stay replicated."""
+        cfg = self.cfg
+        tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
+                         optax.scale_by_adam())
 
         T, N = traj.dones.shape
         mb_envs = N // cfg.num_mini_batches
@@ -156,6 +186,11 @@ class RecurrentPPO:
             params, opt_state, lr, metrics = carry
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, idx)
+            if axis is not None:
+                # DP invariant: identical (averaged) grads + KL on every
+                # device => params and the adaptive LR stay replicated
+                grads = jax.lax.pmean(grads, axis)
+                aux = jax.lax.pmean(aux, axis)
             if cfg.desired_kl is not None and cfg.schedule == "adaptive":
                 kl = aux["kl_mean"]
                 lr = jnp.where(kl > cfg.desired_kl * 2.0,
@@ -196,9 +231,10 @@ class RecurrentRunner:
     def __init__(self, env, cfg: ppo_lib.PPOConfig, num_steps_per_env=24,
                  seed: int = 1, rnn_hidden_size: int = 64, log_dir=None,
                  mesh=None):
-        if mesh is not None and len(mesh.devices.flat) > 1:
+        if mesh is not None and jax.process_count() > 1:
             raise NotImplementedError(
-                "recurrent path is single-device; pass --mesh none")
+                "recurrent path is single-host (multi-device OK); the "
+                "multi-host shard assembly lives in OnPolicyRunner only")
         self.log_dir = log_dir
         self._log_f = None
         if log_dir is not None:
@@ -220,10 +256,24 @@ class RecurrentRunner:
             hist_opt_state=tx.init(params),
             learning_rate=jnp.asarray(cfg.learning_rate),
             counter=jnp.zeros((), jnp.int32))
-        self.alg = RecurrentPPO(env, self.model, cfg, num_steps_per_env)
+        self.alg = RecurrentPPO(env, self.model, cfg, num_steps_per_env,
+                                mesh=mesh)
         self.env_state, self.obs = env.reset(k_env)
         self.carry = self.model.initial_state_static(env.num_envs)
         self.last_dones = jnp.zeros((env.num_envs,), bool)
+        if self.alg.mesh is not None:
+            # env batch sharded over ('data',), params replicated — same
+            # SPMD layout as OnPolicyRunner (parallel/mesh.py)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel import mesh as mesh_lib
+            m = self.alg.mesh
+            self.env_state = mesh_lib.shard_env_state(
+                self.env_state, m, env.num_envs)
+            data = NamedSharding(m, P("data"))
+            self.obs = jax.device_put(self.obs, data)
+            self.carry = jax.device_put(self.carry, data)
+            self.last_dones = jax.device_put(self.last_dones, data)
+            self.ppo_state = mesh_lib.replicate(self.ppo_state, mesh)
 
     def learn(self, num_iterations: int, log=print, log_every: int = 10,
               save_interval: int = 500):

@@ -84,3 +84,42 @@ def test_recurrent_training_improves_reward():
     late = float(np.mean(hist[-10:]))
     assert np.isfinite(hist).all()
     assert late > early, (early, late)
+
+
+def test_recurrent_sharded_update_matches_single_device():
+    """Multi-device recurrent path (lifts the r3 single-device restriction):
+    with num_mini_batches=1 and num_learning_epochs=1 the device-local
+    minibatch is the whole local shard, so the pmean'd gradient equals the
+    global-batch gradient and the shard_map update must match the
+    single-device update exactly (same layout contract as OnPolicyRunner's
+    shard_map path, rl/runner.py)."""
+    from dwbc_tpu.envs import legged_config as lc
+    from dwbc_tpu.envs.legged_robot import LeggedRobotEnv
+    from dwbc_tpu.parallel import mesh as mesh_lib
+    from dwbc_tpu.rl import ppo as ppo_lib
+    from dwbc_tpu.rl.recurrent import RecurrentRunner
+
+    cfg = ppo_lib.PPOConfig(
+        num_heads=1, use_dagger=False, use_roa=False,
+        num_learning_epochs=1, num_mini_batches=1,
+        entropy_coef=0.01, learning_rate=5e-4, schedule="adaptive",
+        desired_kl=0.01, min_policy_std=(0.0,) * 12)
+
+    def run(mesh, iters):
+        env = LeggedRobotEnv(lc.go1_flat(), num_envs=16, seed=3)
+        r = RecurrentRunner(env, cfg, num_steps_per_env=8, seed=5,
+                            mesh=mesh)
+        r.learn(iters, log=None)
+        return jax.tree.map(np.asarray, r.ppo_state.params)
+
+    # ONE iteration: the rollout is identical (same initial params/keys),
+    # so only the update differs, and the pmean-of-local-means gradient
+    # equals the global mean up to summation order (~1e-7). More
+    # iterations would diverge by design: the tiny reduction-order
+    # difference feeds back through chaotic contact dynamics.
+    single = run(None, 1)
+    sharded = run(mesh_lib.make_mesh(8), 1)
+    flat_s, _ = jax.tree_util.tree_flatten(single)
+    flat_m, _ = jax.tree_util.tree_flatten(sharded)
+    for a, b in zip(flat_s, flat_m):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-3)
