@@ -146,6 +146,22 @@ class TestReset:
         w = np.asarray(state.robot.q[reset_ids, 6])
         assert (np.abs(w) > 0.98).all()
 
+    def test_spawn_relative_height_above_local_ground(self, env):
+        """--spawn_relative (the r4 campaign lever): fresh spawns sit at
+        ground + 0.40 m over the LOCAL terrain sample, vs the reference's
+        absolute z where drop height varies with terrain height. Uses only
+        the reset graph (cheap compile). Flag is restored for the other
+        module-scoped tests."""
+        env.spawn_relative = True
+        try:
+            state, _ = env.reset(jax.random.PRNGKey(11))
+        finally:
+            env.spawn_relative = False
+        q = np.asarray(state.robot.q)
+        ground = np.asarray(env.hf.sample(state.robot.q[:, 0],
+                                          state.robot.q[:, 1]))
+        np.testing.assert_allclose(q[:, 2] - ground, 0.40, atol=1e-5)
+
 
 class TestFullRewardSurface:
     def test_every_reference_scale_enables(self):
