@@ -189,6 +189,26 @@ class LeggedRobotEnv:
         # extras["episode"]["max_command_x"], legged_robot.py:185)
         self.metric_names = (["max_command_x"]
                              if cfg.commands.curriculum else [])
+        # per-terrain-family curriculum-level breakdown (VERDICT r4 item
+        # 6: a mean level of 6/10 can hide "slopes at 9, stairs at 3" —
+        # the grid's column -> subterrain-family map is static, so the
+        # per-family means are cheap masked reductions)
+        self._fam_names, self._fam_of_col = [], None
+        if self.grid is not None and cfg.terrain.curriculum:
+            props = list(np.cumsum(cfg.terrain.terrain_proportions))
+            names = ["slope", "rough_slope", "stairs_down", "stairs_up",
+                     "obstacles", "stones", "gap", "pit"]
+            ncols = cfg.terrain.num_cols
+            # exact column->choice map of the grid builder
+            # (terrain.py grid_terrain: choice = j/num_cols + 0.001)
+            choice = np.arange(ncols) / ncols + 0.001
+            fam = np.searchsorted(np.asarray(props), choice, side="right")
+            fam = np.minimum(fam, len(names) - 1)
+            self._fam_of_col = jnp.asarray(fam, jnp.int32)
+            present = sorted(set(fam.tolist()))
+            self._fam_names = [(f, names[f]) for f in present]
+            self.metric_names = list(self.metric_names) + [
+                f"level_{names[f]}" for f in present]
 
     # ------------------------------------------------------------------
 
@@ -582,6 +602,19 @@ class LeggedRobotEnv:
             reset_buf, episode_length.astype(jnp.float32), 0.0))
         state = state.replace(episode_reward=ep_rew)
         stats["terrain_level"] = jnp.mean(state.terrain_levels.astype(jnp.float32))
+        if self._fam_of_col is not None:
+            # per-family mean level, through the metric_ channel: the
+            # runner divides metric_ sums by total resets, so scale by
+            # this step's resets to make the division recover a
+            # reset-weighted mean (same convention as max_command_x)
+            env_fam = self._fam_of_col[state.terrain_types]
+            lv = state.terrain_levels.astype(jnp.float32)
+            for f, name in self._fam_names:
+                in_fam = (env_fam == f)
+                mean_lv = (jnp.sum(jnp.where(in_fam, lv, 0.0))
+                           / jnp.maximum(jnp.sum(in_fam), 1))
+                stats[f"metric_level_{name}"] = (
+                    mean_lv * nres.astype(jnp.float32))
         if cfg.commands.curriculum:
             # runner divides by total resets -> reports the current max
             stats["metric_max_command_x"] = (state.command_lin_vel_x[1]

@@ -168,7 +168,8 @@ class WidowGo1Env:
         # default_joint_angles actually describe.
         self._q_ref = q_ref
         self.droop_comp = jnp.zeros(18)
-        self.spawn_relative = False  # see _reset_root_states
+        self._spawn_relative = False  # see _reset_root_states
+        self._step_traced = False  # guards static-flag mutation (see below)
         if getattr(cfg.control, "droop_compensation", False):
             self.enable_droop_compensation()
         self.action_scale = jnp.asarray(cfg.control.action_scale)
@@ -638,6 +639,7 @@ class WidowGo1Env:
     @functools.partial(jax.jit, static_argnums=0)
     def step(self, state: EnvState, actions: jax.Array, counter: jax.Array
              ) -> Tuple[EnvState, StepOut]:
+        self._step_traced = True  # trace-time side effect; guards flags
         cfg = self.cfg
         N = self.num_envs
         m = self.model
@@ -939,7 +941,28 @@ class WidowGo1Env:
                 if j < 12:  # leg dofs only
                     tau = float(J[0:3, c] @ f_foot)
                     droop[j] = tau / float(self.p_gains[j])
+        self._assert_not_traced("droop_comp")
         self.droop_comp = jnp.asarray(droop)
+
+    # `step` jits with static_argnums=0 (self hashed by identity), so
+    # flag mutations after the first trace would silently not reach the
+    # compiled graph (ADVICE r4). Guard the two static behavior flags.
+    @property
+    def spawn_relative(self):
+        return self._spawn_relative
+
+    @spawn_relative.setter
+    def spawn_relative(self, value):
+        self._assert_not_traced("spawn_relative")
+        self._spawn_relative = bool(value)
+
+    def _assert_not_traced(self, flag):
+        if getattr(self, "_step_traced", False):
+            raise RuntimeError(
+                f"cannot set {flag!r} after env.step has been traced: "
+                "step jits with self static, so the compiled graph would "
+                "silently keep the old value. Set the flag before the "
+                "first step (e.g. make_runner(env_setup=...)).")
 
     def check_termination(self, state: EnvState, roll, pitch, curr_goal):
         """Goal-conditioned roll/pitch + absolute-z + contact-force

@@ -121,23 +121,29 @@ def main():
         base = PPOConfig().min_policy_std
         ppo_overrides["min_policy_std"] = (
             (args.leg_min_std,) * 12 + tuple(base[12:]))
+    def env_setup(env):
+        # runs before the runner __init__'s initial reset AND before the
+        # first step trace (env.step jits with self static): flags applied
+        # here shape iteration-0 spawns too (ADVICE r4 medium)
+        if args.droop_comp:
+            if not hasattr(env, "enable_droop_compensation"):
+                raise SystemExit("--droop_comp is only available for the "
+                                 "widowGo1 task family")
+            env.enable_droop_compensation()
+            print("droop compensation ON:",
+                  [round(float(x), 3) for x in env.droop_comp])
+        if args.spawn_relative:
+            if not hasattr(env, "spawn_relative"):
+                raise SystemExit("--spawn_relative is only available for "
+                                 "the widowGo1 task family")
+            env.spawn_relative = True
+            print("terrain-relative spawn ON (ground + 0.40 m)")
+
     env, runner, spec = make_runner(args.task, num_envs=args.num_envs,
                                     seed=args.seed, log_dir=log_dir,
                                     mesh=mesh,
-                                    ppo_overrides=ppo_overrides or None)
-    if args.droop_comp:
-        if not hasattr(env, "enable_droop_compensation"):
-            raise SystemExit("--droop_comp is only available for the "
-                             "widowGo1 task family")
-        env.enable_droop_compensation()
-        print("droop compensation ON:",
-              [round(float(x), 3) for x in env.droop_comp])
-    if args.spawn_relative:
-        if not hasattr(env, "spawn_relative"):
-            raise SystemExit("--spawn_relative is only available for the "
-                             "widowGo1 task family")
-        env.spawn_relative = True
-        print("terrain-relative spawn ON (ground + 0.40 m)")
+                                    ppo_overrides=ppo_overrides or None,
+                                    env_setup=env_setup)
     if args.resume:
         ckpt = args.checkpoint or _latest_checkpoint(
             os.path.join(args.log_root, TASKS[args.task].experiment_name))

@@ -104,8 +104,16 @@ def make_env(task: str, num_envs=None, seed: int = 1):
 
 
 def make_runner(task: str, num_envs=None, seed: int = 1, log_dir=None,
-                max_iterations=None, mesh=None, ppo_overrides=None):
+                max_iterations=None, mesh=None, ppo_overrides=None,
+                env_setup=None):
     env, spec = make_env(task, num_envs, seed)
+    if env_setup is not None:
+        # env flag mutations (spawn_relative, droop_comp, ...) must land
+        # BEFORE the runner __init__'s initial env.reset — and before the
+        # first step trace, since env.step jits with self static
+        # (ADVICE r4: the r4_widow_fresh iteration-0 spawns predated the
+        # flag and used the absolute-z spawn)
+        env_setup(env)
     if ppo_overrides:
         spec = spec._replace(
             ppo_cfg=dataclasses.replace(spec.ppo_cfg, **ppo_overrides))

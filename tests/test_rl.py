@@ -201,3 +201,55 @@ class TestPPOUpdate:
         assert float(ppo_lib.priv_reg_coef(cfg, jnp.asarray(0.0))) == 0.0
         np.testing.assert_allclose(
             float(ppo_lib.priv_reg_coef(cfg, jnp.asarray(10000.0))), 0.1)
+
+    def test_torque_supervision_reduces_loss_on_fixed_data(self):
+        """The OSC torque-supervision gradient path actually teaches
+        (VERDICT r4 item 3): repeated updates on a FIXED trajectory with
+        ts_weight=1 must drive arm_torques_loss down. Isolates the
+        supervised-regression mechanism (reference ppo.py:233-239,
+        304-324 arm_fk_adaptive_gains) from the nonstationarity of a live
+        campaign's visited states."""
+        model = ac_lib.ActorCritic(
+            num_prop=82, num_priv=24, adaptive_arm_gains=True,
+            init_std=tuple([0.8, 1.0, 1.0] * 4 + [1.0] * 12))
+        num_obs = 82 * 11 + 24
+        key = jax.random.PRNGKey(3)
+        params = model.init(key, jnp.zeros((2, num_obs)))
+        cfg = ppo_lib.PPOConfig(
+            torque_supervision=True, adaptive_arm_gains=True,
+            torque_supervision_schedule=(1.0, 1e6, 1e6),
+            num_learning_epochs=2, num_mini_batches=2,
+            min_policy_std=tuple([0.15, 0.25, 0.25] * 4 + [0.2] * 3
+                                 + [0.05] * 3 + [0.05] * 6))
+        state = ppo_lib.init_state(cfg, params)
+        T, N = 4, 8
+        obs = jax.random.normal(key, (T, N, num_obs))
+        mean = model.apply(params, obs.reshape(T * N, -1), False,
+                           method="act_mean").reshape(T, N, 24)
+        std = params["params"]["std"]
+        actions = mean + 0.05
+        logp = ac_lib.log_prob_per_head(actions, mean, std)
+        # physically-plausible supervision data: targets within the
+        # wx250s effort class, small joint state
+        k1, k2, k3 = jax.random.split(jax.random.fold_in(key, 7), 3)
+        traj = ppo_lib.Transition(
+            obs=obs, actions=actions,
+            rewards=jnp.zeros((T, N, 2)),
+            dones=jnp.zeros((T, N), bool),
+            time_outs=jnp.zeros((T, N), bool),
+            values=jnp.zeros((T, N, 2)), log_probs=logp, mu=mean,
+            sigma=jnp.broadcast_to(std, mean.shape),
+            target_arm_torques=5.0 * jax.random.normal(k1, (T, N, 6)),
+            current_arm_dof_pos=0.3 * jax.random.normal(k2, (T, N, 6)),
+            current_arm_dof_vel=1.0 * jax.random.normal(k3, (T, N, 6)))
+        arm_default = (jnp.full((6,), 5.0), jnp.full((6,), 0.5),
+                       jnp.zeros((6,)), jnp.full((6,), 0.5))
+        returns, advs = ppo_lib.compute_gae(cfg, traj, jnp.zeros((N, 2)))
+        losses = []
+        for i in range(40):
+            state, metrics = ppo_lib.update(
+                cfg, model, state, traj, returns, advs,
+                jax.random.PRNGKey(11), arm_default=arm_default)
+            losses.append(float(metrics["arm_torques_loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])

@@ -152,11 +152,15 @@ class TestReset:
         absolute z where drop height varies with terrain height. Uses only
         the reset graph (cheap compile). Flag is restored for the other
         module-scoped tests."""
-        env.spawn_relative = True
+        # private access bypasses the trace-mutation guard deliberately:
+        # earlier module-scoped tests already traced step, but this test
+        # exercises only the un-jitted reset graph, where the flag is
+        # read fresh each call
+        env._spawn_relative = True
         try:
             state, _ = env.reset(jax.random.PRNGKey(11))
         finally:
-            env.spawn_relative = False
+            env._spawn_relative = False
         q = np.asarray(state.robot.q)
         ground = np.asarray(env.hf.sample(state.robot.q[:, 0],
                                           state.robot.q[:, 1]))

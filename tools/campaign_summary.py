@@ -12,6 +12,7 @@ import argparse
 import glob
 import json
 import os
+import subprocess
 
 HEADLINE = [
     "Train/mean_reward",
@@ -61,11 +62,19 @@ def main():
                     help="also write the summary JSON to this path")
     args = ap.parse_args()
 
+    # the docstring's "committed evidence set" claim must hold: mark any
+    # working-tree curve that is not tracked in git (ADVICE r4), so the
+    # summary can't present uncommitted data as committed evidence
+    tracked = set(subprocess.run(
+        ["git", "ls-files", "logs/*/*/metrics.jsonl"],
+        capture_output=True, text=True).stdout.split())
     table = {}
     for path in sorted(glob.glob("logs/*/*/metrics.jsonl")):
         _, experiment, run, _ = path.split(os.sep)
         s = summarize(path)
         if s is not None:
+            if path not in tracked:
+                s["UNTRACKED"] = True  # not in git: do not cite as evidence
             table[f"{experiment}/{run}"] = s
     text = json.dumps(table, indent=1)
     print(text)

@@ -90,6 +90,9 @@ def run_dryrun_with_dump(n_devices: int, dump_dir: str):
         f"--xla_dump_to={dump_dir} "
         "--xla_dump_hlo_pass_re=NOMATCH")
     env["JAX_PLATFORMS"] = "cpu"
+    # force a real compile: a persistent-cache hit would skip compilation
+    # and leave the HLO dump (this audit's input) empty
+    env["DWBC_NO_COMPILE_CACHE"] = "1"
     code = (
         "import jax; jax.config.update('jax_platforms','cpu')\n"
         "import __graft_entry__ as g; g.dryrun_multichip(%d)\n" % n_devices)
