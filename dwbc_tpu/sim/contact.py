@@ -149,3 +149,93 @@ def terrain_contact(
     wrench = jnp.concatenate([body_n, body_f], axis=-1)
     return ContactOut(geom_force=force, body_wrench=wrench, geom_pos=p,
                       penetration=phi)
+
+
+# ---------------------------------------------------------------------------
+# the production (fused-path) impulse law, shared between execution
+# strategies: sim/fused.py calls it inline (XLA fuses the chain), and
+# ops/contact_pallas.py wraps the SAME function in a pallas_call — the
+# "small, stable kernel calling shared reference scalars" re-entry form
+# promised by ops/PALLAS_DESIGN.md. Any change to the law automatically
+# applies to both paths; there is no physics fork to diverge.
+
+
+def fused_terrain_law(gp, gv, terrain_cache, fprev, friction, gc, cp, dt):
+    """Warm-started directional-Delassus contact impulses for a static
+    sphere set against cached terrain tangent planes (the law of
+    sim/fused.py substep; PhysX-TGS softness class,
+    legged_robot_config.py:190-192).
+
+    All geom-axis quantities are (ng, B) arrays (B = env block):
+      gp, gv: 3-tuples of (ng, B) world sphere positions / velocities;
+      terrain_cache: (h_anchor (ng, B), normal 3-tuple, ax, ay) from the
+        per-policy-step tangent-plane sample;
+      fprev: 3-tuple (ng, B) — warm-start carry (applied force with
+        growth-clamped normal from the previous substep);
+      friction: (B,) per-env Coulomb coefficient (DR surface);
+      gc: static geom constants dict:
+        radius, m_solo, m_body: (ng, 1);
+        W: dict of 6 Delassus components (ng, 1) (see engine.point_W);
+        E: (nb, ng) one-hot geom->body incidence (f32).
+    Returns (gF, cf_new, active, share_f): applied world forces, new
+    carry, the active mask, and the multi-contact mass-share factor
+    (consumed by the box-coupling path) — forces are 3-tuples of
+    (ng, B)."""
+    h_a, nrm, ax, ay = terrain_cache
+
+    def vdot3(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    def m_dir(d):
+        W = gc["W"]
+        q = (W["xx"] * d[0] * d[0] + W["yy"] * d[1] * d[1]
+             + W["zz"] * d[2] * d[2]
+             + 2.0 * (W["xy"] * d[0] * d[1] + W["xz"] * d[0] * d[2]
+                      + W["yz"] * d[1] * d[2]))
+        return 1.0 / jnp.maximum(q, 1e-6)
+
+    # evaluate each geom's cached tangent plane at its current position
+    dhdx = -nrm[0] / nrm[2]
+    dhdy = -nrm[1] / nrm[2]
+    h = h_a + dhdx * (gp[0] - ax) + dhdy * (gp[1] - ay)
+    phi = (gp[2] - h) * nrm[2] - gc["radius"]
+    active = phi < 0.0
+
+    # per-body active count -> shared effective mass (one-hot matmul:
+    # no scatter on TPU)
+    count_b = jnp.maximum(
+        jnp.dot(gc["E"], active.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST), 1.0)      # (nb, B)
+    count_g = jnp.dot(gc["E"].T, count_b,
+                      precision=jax.lax.Precision.HIGHEST)       # (ng, B)
+    m_share = jnp.minimum(gc["m_solo"], gc["m_body"] / count_g)
+    share_f = m_share / gc["m_solo"]
+
+    vn = vdot3(gv, nrm)
+    push_v = jnp.minimum(
+        cp.baumgarte * jnp.maximum(-phi - cp.slop, 0.0) / dt,
+        cp.max_depen_vel)
+    m_n = share_f * m_dir(nrm)
+    vt = tuple(gv[k] - nrm[k] * vn for k in range(3))
+    vt_norm = jnp.sqrt(vdot3(vt, vt) + 1e-12)
+    t_hat = tuple(vt[k] / vt_norm for k in range(3))
+    m_t = share_f * m_dir(t_hat)
+    fn_prev = cp.warm_decay * jnp.maximum(vdot3(fprev, nrm), 0.0)
+    fdotn = vdot3(fprev, nrm)
+    ftp = tuple((fprev[k] - nrm[k] * fdotn) * cp.warm_decay
+                for k in range(3))
+    fn = jnp.clip(fn_prev + cp.relax * m_n * (push_v - vn) / dt,
+                  0.0, cp.fn_max)
+    fn = jnp.where(active, fn, 0.0)
+    ftv = tuple(ftp[k] + vt[k] * (-cp.relax * m_t / dt) for k in range(3))
+    ft_norm = jnp.sqrt(vdot3(ftv, ftv) + 1e-12)
+    fscale = jnp.minimum(1.0, friction * fn / ft_norm)
+    gF = tuple(jnp.where(active, fn * nrm[k] + ftv[k] * fscale, 0.0)
+               for k in range(3))
+    # growth-clamped carry: static loads persist, impact spikes don't
+    dF = cp.warm_growth * 9.81 * m_n
+    fn_c = jnp.minimum(fn, fn_prev + dF)
+    fsc_c = jnp.minimum(fscale, (friction * fn_c) / ft_norm)
+    cf_new = tuple(jnp.where(active, fn_c * nrm[k] + ftv[k] * fsc_c, 0.0)
+                   for k in range(3))
+    return gF, cf_new, active, share_f

@@ -31,6 +31,7 @@ import numpy as np
 
 from ..core.model import RobotModel
 from ..terrain.terrain import Heightfield
+from . import contact as contact_mod
 from .contact import ContactParams
 from .engine import PhysCtx, SimParams
 
@@ -359,6 +360,24 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
     dt = params.dt
     cp: ContactParams = params.contact
 
+    # static geom constants for the shared contact law (contact.
+    # fused_terrain_law): (ng, 1) broadcasting columns + the (nb, ng)
+    # one-hot geom->body incidence used for active-count reductions and
+    # per-body wrench accumulation
+    _E_np = np.zeros((nb, len(geom_body)), np.float32)
+    for _g, _b in enumerate(geom_body):
+        _E_np[_b, _g] = 1.0
+    _geom_const = dict(
+        radius=jnp.asarray(np.asarray(geom_radius, np.float32))[:, None],
+        m_solo=jnp.asarray(np.asarray(m_solo, np.float32))[:, None],
+        m_body=jnp.asarray(np.asarray(m_body_eff, np.float32))[:, None],
+        W={k: jnp.asarray(w_np[:, i, j])[:, None]
+           for k, (i, j) in dict(xx=(0, 0), yy=(1, 1), zz=(2, 2),
+                                 xy=(0, 1), xz=(0, 2),
+                                 yz=(1, 2)).items()},
+        E=jnp.asarray(_E_np))
+    _use_pallas_contact = os.environ.get("DWBC_PALLAS_CONTACT") == "1"
+
     if box_half_extents is not None:
         bhe = tuple(float(h) for h in box_half_extents)
         # rounded corners, same compilation as core.model.free_body_model
@@ -529,23 +548,6 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
 
         off = [jnp.asarray(np.asarray([geom_pos[g][k] for g in range(ng)],
                                       np.float32))[:, None] for k in range(3)]
-        radius_c = jnp.asarray(np.asarray(geom_radius, np.float32))[:, None]
-        m_solo_c = jnp.asarray(np.asarray(m_solo, np.float32))[:, None]
-        m_body_c = jnp.asarray(np.asarray(m_body_eff, np.float32))[:, None]
-        # cached 3x3 Delassus components (ng, 1); effective mass along a
-        # unit direction d is 1 / (d^T W d) — see engine.point_W
-        W = {k: jnp.asarray(w_np[:, i, j])[:, None]
-             for k, (i, j) in dict(xx=(0, 0), yy=(1, 1), zz=(2, 2),
-                                   xy=(0, 1), xz=(0, 2), yz=(1, 2)).items()}
-
-        def m_dir(d):
-            """1/(d^T W d) for a unit direction tuple d (components
-            broadcastable to (ng, N))."""
-            q = (W["xx"] * d[0] * d[0] + W["yy"] * d[1] * d[1]
-                 + W["zz"] * d[2] * d[2]
-                 + 2.0 * (W["xy"] * d[0] * d[1] + W["xz"] * d[0] * d[2]
-                          + W["yz"] * d[1] * d[2]))
-            return 1.0 / jnp.maximum(q, 1e-6)
 
         r_w = mvec(Rg, off)                      # (ng, N) world offsets
         gp = vadd(pg, r_w)
@@ -553,63 +555,34 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
         u_w = mvec(Rg, vg_lin)
         gv = vadd(u_w, vcross(w_w, r_w))
 
-        h_a, nrm, ax, ay = terrain_cache
-        # evaluate the cached tangent plane at the CURRENT geom position
-        dhdx = -nrm[0] / nrm[2]
-        dhdy = -nrm[1] / nrm[2]
-        h = h_a + dhdx * (gp[0] - ax) + dhdy * (gp[1] - ay)
-        phi = (gp[2] - h) * nrm[2] - radius_c
-        active = phi < 0.0
+        # the impulse law itself lives in sim/contact.fused_terrain_law —
+        # ONE implementation shared by the XLA-fused path (default) and
+        # the Pallas kernel (DWBC_PALLAS_CONTACT=1, ops/contact_pallas.py;
+        # carry-growth clamp, directional Delassus masses, warm-start
+        # decay — see the law's docstring and the stability comments in
+        # ContactParams)
+        E = _geom_const["E"]
+        radius_c = _geom_const["radius"]
+        if _use_pallas_contact:
+            from ..ops.contact_pallas import pallas_terrain_contact
+            gF, cf_terr, active, share_f = pallas_terrain_contact(
+                gp, gv, terrain_cache, cf["terr"], substep.friction,
+                _geom_const, cp, dt)
+        else:
+            gF, cf_terr, active, share_f = contact_mod.fused_terrain_law(
+                gp, gv, terrain_cache, cf["terr"], substep.friction,
+                _geom_const, cp, dt)
+        cf_new = {"terr": cf_terr}
 
-        # per-body active count -> shared effective mass (one-hot matmuls)
-        E = np.zeros((nb, ng), np.float32)
-        for g, b in enumerate(geom_body):
-            E[b, g] = 1.0
-        E = jnp.asarray(E)
-        count_b = jnp.maximum(E @ active.astype(jnp.float32), 1.0)  # (nb, N)
-        count_g = count_b[gb_idx]
-        m_share = jnp.minimum(m_solo_c, m_body_c / count_g)
-        # multi-contact share factor, applied to the DIRECTIONAL masses
-        share_f = m_share / m_solo_c
-
-        vn = vdot(gv, nrm)
-        push_v = jnp.minimum(
-            cp.baumgarte * jnp.maximum(-phi - cp.slop, 0.0) / dt,
-            cp.max_depen_vel)
-        # directional effective masses: along the contact normal for the
-        # normal correction, along the actual slip direction for friction
-        # (the vertical-only scalar overestimated both on slopes -> the
-        # deadbeat correction overshot and rang; measured 43x raw-energy
-        # drop at standing on Perlin from this change)
-        m_n = share_f * m_dir(nrm)
-        vt = vsub(gv, vscale(nrm, vn))
-        vt_norm = jnp.sqrt(vdot(vt, vt) + 1e-12)
-        t_hat = tuple(vt[k] / vt_norm for k in range(3))
-        m_t = share_f * m_dir(t_hat)
-        fprev = cf["terr"]
-        fn_prev = cp.warm_decay * jnp.maximum(vdot(fprev, nrm), 0.0)
-        ftp = vscale(vsub(fprev, vscale(nrm, vdot(fprev, nrm))),
-                     cp.warm_decay)
-        fn = jnp.clip(fn_prev + cp.relax * m_n * (push_v - vn) / dt,
-                      0.0, cp.fn_max)
-        fn = jnp.where(active, fn, 0.0)
-        ftv = vadd(ftp, vscale(vt, -cp.relax * m_t / dt))
-        ft_norm = jnp.sqrt(vdot(ftv, ftv) + 1e-12)
-        fscale = jnp.minimum(1.0, substep.friction * fn / ft_norm)
-        gF = tuple(jnp.where(active, fn * nrm[k] + ftv[k] * fscale, 0.0)
-                   for k in range(3))
-        # carry = applied force with GROWTH-CLAMPED normal (and the cone-
-        # consistent friction): static/gait loads (≲2 m g per substep)
-        # accumulate freely so the converged force persists at rest, but an
-        # impact spike (m Δv/dt, ~10-100x weight) never enters the carry —
-        # re-applying it next substep would launch the body (elastic bounce;
-        # restitution must be 0, legged_robot_config.py:195).
-        dF = cp.warm_growth * 9.81 * m_n
-        fn_c = jnp.minimum(fn, fn_prev + dF)
-        fsc_c = jnp.minimum(fscale, (substep.friction * fn_c) / ft_norm)
-        cf_new = {"terr": tuple(
-            jnp.where(active, fn_c * nrm[k] + ftv[k] * fsc_c, 0.0)
-            for k in range(3))}
+        def m_dir(d):
+            """1/(d^T W d) for a unit direction tuple d (components
+            broadcastable to (ng, N)) — box-coupling path."""
+            W = _geom_const["W"]
+            q = (W["xx"] * d[0] * d[0] + W["yy"] * d[1] * d[1]
+                 + W["zz"] * d[2] * d[2]
+                 + 2.0 * (W["xy"] * d[0] * d[1] + W["xz"] * d[0] * d[2]
+                          + W["yz"] * d[1] * d[2]))
+            return 1.0 / jnp.maximum(q, 1e-6)
 
         # ---------------- box coupling (optional) ----------------
         # Robot spheres vs box OBB, two-way: force on the geom enters the
