@@ -25,11 +25,25 @@ class TaskSpec(NamedTuple):
 
 
 def _widow_env(num_envs, seed, terrain=None, adaptive=False):
-    from ..envs.config import ControlCfg, EnvCfg, TerrainCfg, WidowGo1Cfg
+    from ..envs.config import (ControlCfg, EnvCfg, TerminationCfg,
+                               TerrainCfg, WidowGo1Cfg)
     from ..envs.widowgo1 import WidowGo1Env
     cfg = WidowGo1Cfg()
     if terrain is not None:
         cfg = dataclasses.replace(cfg, terrain=TerrainCfg(mesh_type=terrain))
+    if terrain == "plane":
+        # the reference has NO flat widow config; its absolute
+        # z_threshold=0.325 was tuned against the Perlin height
+        # distribution, where terrain diversity hands some envs 0.2+ m
+        # of margin — the survivor population that seeds learning. On a
+        # plane every env shares the same 0.06 m knife-edge (measured:
+        # r5_widowflat, term_z=1.0 at every iteration for 8,000 iters,
+        # episode length pinned at 6.5 under init-sigma noise). 0.25
+        # still terminates true collapses (go1 trunk bottoms out ~0.12)
+        # while restoring the exploration window the rough task gets
+        # from terrain diversity.
+        cfg = dataclasses.replace(
+            cfg, termination=TerminationCfg(z_threshold=0.25))
     if adaptive:
         # adaptive arm gains + OSC torque supervision variant
         # (widowGo1_config.py:168-169 flags; actions widen to 18+6, the
