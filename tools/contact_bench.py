@@ -33,23 +33,16 @@ def measure_collect(num_envs, steps, reps):
     env = WidowGo1Env(WidowGo1Cfg(), num_envs=num_envs, seed=1)
     runner = OnPolicyRunner(env, ppo_lib.PPOConfig(),
                             num_steps_per_env=steps, seed=1)
-    key = jax.random.PRNGKey(0)
 
-    def collect_once():
-        out = runner.rollout.collect(
-            runner.ppo_state.params, runner.env_state, obs=runner.obs,
-            counter=jnp.zeros(()), key=key, hist_encoding=False)
-        jax.block_until_ready(out[1])
-        return out
-
+    # drive through runner.learn (same path as bench.py / production);
+    # runner.last_collection_time isolates the collect wall clock
     t0 = time.time()
-    collect_once()   # compile
+    runner.learn(1, log_every=1000)   # compile
     compile_s = time.time() - t0
     best = float("inf")
     for _ in range(reps):
-        t0 = time.time()
-        collect_once()
-        best = min(best, time.time() - t0)
+        runner.learn(1, log_every=1000)
+        best = min(best, runner.last_collection_time)
     return best, compile_s
 
 
