@@ -376,7 +376,19 @@ def make_fused_substep(model: RobotModel, params: SimParams, hf: Heightfield,
                                  xy=(0, 1), xz=(0, 2),
                                  yz=(1, 2)).items()},
         E=jnp.asarray(_E_np))
-    _use_pallas_contact = os.environ.get("DWBC_PALLAS_CONTACT") == "1"
+    # contact-path default (measured, logs/contact_path_bench.json): the
+    # Pallas kernel beats the XLA-fused chain by ~1.1% of collect at
+    # 8192 envs (0.6581 vs 0.6656 s best-of-5, identical compile cost),
+    # reproduced across two exclusive-chip measurement rounds — so it is
+    # the default ON TPU per ops/PALLAS_DESIGN.md's bar. CPU (tests,
+    # virtual-mesh dryruns) keeps the XLA path: same shared law, and
+    # Mosaic interpret mode is test-only. DWBC_PALLAS_CONTACT=1/0
+    # forces either way.
+    _flag = os.environ.get("DWBC_PALLAS_CONTACT", "auto")
+    if _flag == "auto":
+        _use_pallas_contact = jax.default_backend() not in ("cpu",)
+    else:
+        _use_pallas_contact = _flag == "1"
 
     if box_half_extents is not None:
         bhe = tuple(float(h) for h in box_half_extents)
