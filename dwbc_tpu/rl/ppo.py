@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -36,6 +37,9 @@ import optax
 from flax import struct
 
 from ..models import actor_critic as ac_lib
+
+# see update(): bf16 storage for the permuted obs minibatches
+_BF16_OBS = os.environ.get("DWBC_BF16_OBS") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -242,6 +246,14 @@ def update(
     # trace) buys nothing over one up-front gather.
     flat = jax.tree.map(
         lambda x: x.reshape((B,) + x.shape[2:])[perm], traj)
+    if _BF16_OBS:
+        # experiment (DWBC_BF16_OBS=1): the epoch scan re-reads the
+        # permuted obs tensor from HBM every minibatch step (5 epochs x
+        # 4 slices x 176 MB at the flagship's 860-d obs); storing it
+        # bf16 halves that traffic. The network itself still computes in
+        # f32 (cast-on-read); only the stored obs are rounded. OFF by
+        # default — training-numerics parity not yet demonstrated.
+        flat = flat._replace(obs=flat.obs.astype(jnp.bfloat16))
     f_returns = returns.reshape(B, -1)[perm]
     f_adv = advantages.reshape(B, -1)[perm]
     mix = mixing_ratio(cfg, state.counter)
@@ -249,7 +261,7 @@ def update(
     ts_weight = torque_supervision_weight(cfg, state.counter)
 
     def loss_fn(params, mb, lr_now):
-        obs = mb["obs"]
+        obs = mb["obs"].astype(jnp.float32)
         mean = model.apply(params, obs, False, method="act_mean")
         std = params["params"]["std"]
         logp = logp_heads(cfg, mb["actions"], mean, std)
