@@ -26,6 +26,7 @@ Reference class being modeled: PhysX TGS, legged_robot_config.py:190-192.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -67,8 +68,15 @@ def _kernel(gp_ref, gv_ref, fprev_ref, nrm_ref, haxy_ref, fric_ref,
 def _call(gp_s, gv_s, fprev_s, nrm_s, haxy_s, fric2, rmm, w6, E,
           cp, dt, interpret=False):
     _, ng, n = gp_s.shape
-    bn = min(n, 2048)
+    bn = int(os.environ.get("DWBC_PALLAS_BN", "0")) or min(n, 2048)
     grid = (_cdiv(n, bn),)
+    # The law's intermediates live on Mosaic's scoped-VMEM stack, which
+    # defaults to 16 MB — the full impulse chain at bn=2048 needs ~32 MB
+    # (measured: the default limit rejected the train-step compile while
+    # the identical collect-only bench graph fit). v5e has 128 MB VMEM;
+    # grant the kernel what it actually uses, with block double-buffering
+    # headroom on top.
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
     def stk(i):
         return pl.BlockSpec((3, ng, bn), lambda g: (0, 0, g),
@@ -89,6 +97,7 @@ def _call(gp_s, gv_s, fprev_s, nrm_s, haxy_s, fric2, rmm, w6, E,
                   const(E.shape)],
         out_specs=pl.BlockSpec((8, ng, bn), lambda g: (0, 0, g),
                                memory_space=pltpu.VMEM),
+        compiler_params=params,
         interpret=interpret,
     )(gp_s, gv_s, fprev_s, nrm_s, haxy_s, fric2, rmm, w6, E)
     return out
