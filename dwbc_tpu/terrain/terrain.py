@@ -84,13 +84,17 @@ class Heightfield(NamedTuple):
         return jnp.minimum(jnp.minimum(h1, h2), h3)
 
     def sample_with_normal(self, x: jax.Array, y: jax.Array):
-        """(height, normal) from ONE windowed 2x2 gather: bilinear height
-        plus the cell's finite-difference normal. TPU gather cost is per
-        INDEX (~10 ns), not per element — a single lax.gather with
-        slice_sizes=(2, 2) fetches all four cell corners for ONE index,
-        4x fewer indexes than separate corner lookups (measured: the
-        four corner-gather fusions were 4.3 ms of a 16.5 ms flagship
-        policy step at 8192 envs). Bit-identical bilinear math."""
+        """(height, normal) from ONE 2x2 corner fetch: bilinear height plus
+        the cell's finite-difference normal. 4 gathers instead of the 20 a
+        separate sample+normal pair costs — the difference between
+        gather-bound and compute-bound contact on TPU.
+
+        Keep the four separate corner gathers: the windowed alternative
+        (one lax.gather with slice_sizes=(2, 2) per point) measured 8x
+        SLOWER at flagship scale — 231 ms vs 29 ms per 106k-point call on
+        v5e — Mosaic lowers the strided 2x2 window to a serial slow path,
+        while four flat 1-element gathers vectorize. It deoptimized the
+        whole collect 0.66 s -> 5.4 s before being reverted."""
         H, W = self.height.shape
         gx = (x - self.origin[0]) / self.cell
         gy = (y - self.origin[1]) / self.cell
@@ -100,19 +104,10 @@ class Heightfield(NamedTuple):
         iy = jnp.floor(gy).astype(jnp.int32)
         fx = gx - ix
         fy = gy - iy
-        shape = ix.shape
-        starts = jnp.stack([ix.ravel(), iy.ravel()], axis=-1)   # (P, 2)
-        win = jax.lax.gather(
-            self.height, starts,
-            jax.lax.GatherDimensionNumbers(
-                offset_dims=(1, 2), collapsed_slice_dims=(),
-                start_index_map=(0, 1)),
-            slice_sizes=(2, 2),
-            mode=jax.lax.GatherScatterMode.CLIP)                # (P, 2, 2)
-        h00 = win[:, 0, 0].reshape(shape)
-        h10 = win[:, 1, 0].reshape(shape)
-        h01 = win[:, 0, 1].reshape(shape)
-        h11 = win[:, 1, 1].reshape(shape)
+        h00 = self.height[ix, iy]
+        h10 = self.height[ix + 1, iy]
+        h01 = self.height[ix, iy + 1]
+        h11 = self.height[ix + 1, iy + 1]
         h = (h00 * (1 - fx) * (1 - fy) + h10 * fx * (1 - fy)
              + h01 * (1 - fx) * fy + h11 * fx * fy)
         dhdx = ((h10 + h11) - (h00 + h01)) / (2 * self.cell)
